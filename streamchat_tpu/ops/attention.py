@@ -1,0 +1,252 @@
+"""Attention kernels.
+
+The reference relies on flash-attention-2 CUDA binaries
+(`longva/model/builder.py:27`, attn_implementation="flash_attention_2") and —
+critically — disables the KV cache on every generate call
+(`inference_streaming_longva_v2.py:150,257`), making decode O(L^2). Here:
+
+* `flash_attention` — a Pallas TPU kernel (online-softmax, tiled over KV) used
+  for prefill. Never materializes the [S, S] score matrix; accumulators live
+  in VMEM scratch in f32 while Q/K/V stream through in bf16.
+* `decode_attention` — single-token attention against a contiguous KV cache.
+  One [H, L] matvec per step: bandwidth-bound, XLA lowers it optimally, so no
+  hand kernel is needed (a paged Pallas variant can slot in behind the same
+  signature when batch decode arrives).
+
+GQA is handled inside the kernel's BlockSpec index maps (query head h reads
+kv head h // q_per_kv) so K/V are never repeated in HBM.
+
+Layouts: q [B, H, S, D], k/v [B, Hkv, S, D].
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# -0.7 * f32 max instead of -inf: exp(-inf - -inf) would be NaN in the
+# online-softmax correction.
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _attention_reference(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool,
+    sm_scale: float,
+    kv_length: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """XLA attention used on CPU and as the numerics oracle in tests."""
+    b, hq, sq, d = q.shape
+    hkv = k.shape[1]
+    if hq != hkv:
+        k = jnp.repeat(k, hq // hkv, axis=1)
+        v = jnp.repeat(v, hq // hkv, axis=1)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32))
+    s *= sm_scale
+    sk = k.shape[2]
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
+        s = jnp.where((col <= row)[None, None], s, DEFAULT_MASK_VALUE)
+    if kv_length is not None:
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, sk), 3)
+        s = jnp.where(col < kv_length[:, None, None, None], s, DEFAULT_MASK_VALUE)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32)).astype(q.dtype)
+
+
+def _flash_kernel(
+    length_ref,            # [B] int32, scalar prefetch
+    q_ref,                 # [1, 1, bq, d]
+    k_ref,                 # [1, 1, bk, d]
+    v_ref,                 # [1, 1, bk, d]
+    o_ref,                 # [1, 1, bq, d]
+    m_scratch,             # [bq, 128] f32
+    l_scratch,             # [bq, 128] f32
+    acc_scratch,           # [bq, d]  f32
+    *,
+    causal: bool,
+    sm_scale: float,
+    block_q: int,
+    block_k: int,
+    num_kv_blocks: int,
+):
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    kj = pl.program_id(3)
+
+    @pl.when(kj == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    kv_len = length_ref[b]
+
+    # Skip KV tiles fully above the causal diagonal and fully past kv_len.
+    diag_ok = ((qi + 1) * block_q - 1) >= (kj * block_k) if causal else True
+    live = jnp.logical_and(diag_ok, kj * block_k < kv_len)
+
+    @pl.when(live)
+    def _run():
+        q = q_ref[0, 0].astype(jnp.float32)                     # [bq, d]
+        k = k_ref[0, 0].astype(jnp.float32)                     # [bk, d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )                                                       # [bq, bk]
+        s *= sm_scale
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + qi * block_q
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kj * block_k
+        mask = col < kv_len
+        if causal:
+            mask = jnp.logical_and(mask, col <= row)
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scratch[...]                                 # [bq, 128]
+        l_prev = l_scratch[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)              # [bq, 1]
+        m_next = jnp.maximum(m_prev, m_curr)                    # broadcast -> [bq, 128]
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])                          # [bq, bk]
+        l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scratch[...] = m_next
+        l_scratch[...] = l_next
+
+        v = v_ref[0, 0].astype(jnp.float32)                     # [bk, d]
+        acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + jax.lax.dot(
+            p, v, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(kj == num_kv_blocks - 1)
+    def _store():
+        l = l_scratch[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "sm_scale", "block_q", "block_k", "interpret"),
+)
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_length: jnp.ndarray | None = None,
+    *,
+    causal: bool = True,
+    sm_scale: float | None = None,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Tiled flash attention. q [B,H,Sq,D], k/v [B,Hkv,Sk,D] -> [B,H,Sq,D].
+
+    kv_length ([B] int32) masks padded KV positions; defaults to full Sk.
+    Sequence dims must be multiples of the block sizes (callers pad prompts to
+    128-multiples anyway to bound recompilation).
+    """
+    b, hq, sq, d = q.shape
+    _, hkv, sk, _ = k.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    if kv_length is None:
+        kv_length = jnp.full((b,), sk, dtype=jnp.int32)
+
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    if sq % block_q or sk % block_k:
+        raise ValueError(f"seq lens ({sq},{sk}) not divisible by blocks ({block_q},{block_k})")
+
+    grid = (b, hq, sq // block_q, sk // block_k)
+    q_per_kv = hq // hkv
+
+    kernel = functools.partial(
+        _flash_kernel,
+        causal=causal,
+        sm_scale=sm_scale,
+        block_q=block_q,
+        block_k=block_k,
+        num_kv_blocks=sk // block_k,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        # Index maps receive the scalar-prefetch ref as a trailing arg.
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j, *_: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b, h, i, j, *_: (b, h // q_per_kv, j, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b, h, i, j, *_: (b, h // q_per_kv, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j, *_: (b, h, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(kv_length.astype(jnp.int32), q, k, v)
+
+
+def prefill_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_length: jnp.ndarray | None = None,
+    *,
+    causal: bool = True,
+    sm_scale: float | None = None,
+) -> jnp.ndarray:
+    """Backend dispatch: Pallas kernel on TPU, XLA reference elsewhere."""
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    if jax.default_backend() == "tpu":
+        return flash_attention(q, k, v, kv_length, causal=causal, sm_scale=sm_scale)
+    return _attention_reference(
+        q, k, v, causal=causal, sm_scale=sm_scale, kv_length=kv_length
+    )
+
+
+def decode_attention(
+    q: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    length: jnp.ndarray,
+    *,
+    sm_scale: float | None = None,
+) -> jnp.ndarray:
+    """One-token attention against the KV cache.
+
+    q [B, H, 1, D]; k_cache/v_cache [B, Hkv, Lmax, D]; length [B] = number of
+    valid cache entries (the new token's K/V must already be written).
+    """
+    b, hq, _, d = q.shape
+    hkv = k_cache.shape[1]
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    g = hq // hkv
+    lmax = k_cache.shape[2]
+    qg = q.reshape(b, hkv, g, d).astype(jnp.float32)
+    s = jnp.einsum("bhgd,bhld->bhgl", qg, k_cache.astype(jnp.float32)) * sm_scale
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, lmax), 3)
+    s = jnp.where(col < length[:, None, None, None], s, DEFAULT_MASK_VALUE)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhgl,bhld->bhgd", p, v_cache.astype(jnp.float32))
+    return o.reshape(b, hq, 1, d).astype(q.dtype)

@@ -1,0 +1,59 @@
+"""Flash-attention kernel numerics vs the XLA reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from streamchat_tpu.ops.attention import (
+    _attention_reference,
+    decode_attention,
+    flash_attention,
+)
+
+
+def _rand_qkv(key, b, hq, hkv, sq, sk, d, dtype=jnp.float32):
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, hq, sq, d), dtype)
+    k = jax.random.normal(kk, (b, hkv, sk, d), dtype)
+    v = jax.random.normal(kv, (b, hkv, sk, d), dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_flash_matches_reference(key, causal):
+    q, k, v = _rand_qkv(key, 1, 4, 4, 256, 256, 64)
+    out = flash_attention(q, k, v, causal=causal, block_q=128, block_k=128, interpret=True)
+    ref = _attention_reference(q, k, v, causal=causal, sm_scale=64**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_gqa(key):
+    q, k, v = _rand_qkv(key, 1, 8, 2, 128, 128, 64)
+    out = flash_attention(q, k, v, causal=True, block_q=128, block_k=128, interpret=True)
+    ref = _attention_reference(q, k, v, causal=True, sm_scale=64**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_kv_length_mask(key):
+    q, k, v = _rand_qkv(key, 2, 4, 4, 128, 256, 64)
+    length = jnp.array([100, 256], dtype=jnp.int32)
+    out = flash_attention(
+        q, k, v, length, causal=False, block_q=128, block_k=128, interpret=True
+    )
+    ref = _attention_reference(q, k, v, causal=False, sm_scale=64**-0.5, kv_length=length)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_decode_matches_full_attention(key):
+    # Decoding position L-1 must equal row L-1 of full causal attention.
+    b, hq, hkv, lmax, d = 1, 8, 2, 64, 32
+    q, k, v = _rand_qkv(key, b, hq, hkv, lmax, lmax, d)
+    length = jnp.array([40], dtype=jnp.int32)
+    ref = _attention_reference(
+        q[:, :, :40], k[:, :, :40], v[:, :, :40], causal=True, sm_scale=d**-0.5
+    )
+    out = decode_attention(q[:, :, 39:40], k, v, length)
+    np.testing.assert_allclose(
+        np.asarray(out[:, :, 0]), np.asarray(ref[:, :, 39]), atol=2e-5
+    )
