@@ -1,0 +1,16 @@
+from streamchat_tpu.models import decoder, embedder, generate, projector, tokenizer, vit
+from streamchat_tpu.models.decoder import KVCache
+from streamchat_tpu.models.embedder import TextEmbedder
+from streamchat_tpu.models.longva import LongVA
+
+__all__ = [
+    "decoder",
+    "embedder",
+    "generate",
+    "projector",
+    "tokenizer",
+    "vit",
+    "KVCache",
+    "TextEmbedder",
+    "LongVA",
+]

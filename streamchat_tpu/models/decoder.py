@@ -1,0 +1,253 @@
+"""Causal decoder core shared by LongVA's Qwen2-7B backbone and the LLaMA-3-8B
+judge.
+
+The reference vendors two full HF model trees for these
+(`longva/model/language_model/llava_qwen.py`, judge via HF LlamaForCausalLM)
+and runs every generate call with `use_cache=False` — re-prefilling the whole
+prompt per decoded token (inference_streaming_longva_v2.py:150,257). Here one
+functional decoder covers both architectures (config-driven: qkv bias, GQA
+ratio, rope theta, vocab) and decode always runs against a preallocated KV
+cache.
+
+TPU-first choices:
+* Prefill attention = the Pallas flash kernel (ops/attention.py); decode =
+  one [H, L] matvec vs the cache (bandwidth-bound; XLA-optimal).
+* KV cache is a static-shape ring of [L, B, Hkv, Lmax, Dh] updated with
+  dynamic_update_slice — no retracing as length grows; `length` is a traced
+  scalar per batch row.
+* RoPE cos/sin computed on the fly from positions (fuses into the rotation;
+  no host-side cache tables).
+* bf16 weights/activations, f32 for RMSNorm / RoPE / softmax / logits.
+* Weights stored as separate q/k/v/o and gate/up/down matrices so tensor
+  parallelism can shard heads / ffn without re-layout.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from streamchat_tpu.config import DecoderConfig
+from streamchat_tpu.ops.attention import decode_attention, prefill_attention
+
+Params = Dict[str, Any]
+
+
+class KVCache(NamedTuple):
+    """Preallocated per-layer key/value store.
+
+    k, v: [num_layers, B, Hkv, Lmax, Dh]; length: [B] valid entries.
+    """
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    length: jnp.ndarray
+
+    @classmethod
+    def create(cls, cfg: DecoderConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+        shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
+        return cls(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            length=jnp.zeros((batch,), jnp.int32),
+        )
+
+
+def rmsnorm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32)).astype(x.dtype)
+
+
+def rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
+    """Rotary embedding, HF rotate-half convention. x: [B, H, S, Dh]."""
+    dh = x.shape[-1]
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, dh, 2, dtype=jnp.float32) / dh))
+    ang = positions[:, None, :, None].astype(jnp.float32) * inv_freq  # [B,1,S,Dh/2]
+    cos = jnp.cos(ang)
+    sin = jnp.sin(ang)
+    x32 = x.astype(jnp.float32)
+    x1, x2 = x32[..., :dh // 2], x32[..., dh // 2:]
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+def init(key: jax.Array, cfg: DecoderConfig, dtype=jnp.bfloat16) -> Params:
+    d, dh = cfg.hidden_size, cfg.head_dim
+    hq, hkv, f = cfg.num_heads, cfg.num_kv_heads, cfg.intermediate_size
+    keys = iter(jax.random.split(key, 4 + 8 * cfg.num_layers))
+
+    def mat(kin, kout):
+        return (jax.random.normal(next(keys), (kin, kout)) * kin**-0.5).astype(dtype)
+
+    layers = []
+    for _ in range(cfg.num_layers):
+        layer = {
+            "input_norm": jnp.ones((d,), dtype),
+            "attn": {
+                "q": {"w": mat(d, hq * dh)},
+                "k": {"w": mat(d, hkv * dh)},
+                "v": {"w": mat(d, hkv * dh)},
+                "o": {"w": mat(hq * dh, d)},
+            },
+            "post_norm": jnp.ones((d,), dtype),
+            "mlp": {
+                "gate": mat(d, f),
+                "up": mat(d, f),
+                "down": mat(f, d),
+            },
+        }
+        if cfg.qkv_bias:
+            layer["attn"]["q"]["b"] = jnp.zeros((hq * dh,), dtype)
+            layer["attn"]["k"]["b"] = jnp.zeros((hkv * dh,), dtype)
+            layer["attn"]["v"]["b"] = jnp.zeros((hkv * dh,), dtype)
+        layers.append(layer)
+
+    params = {
+        "embed": (jax.random.normal(next(keys), (cfg.vocab_size, d)) * 0.02).astype(dtype),
+        "layers": layers,
+        "final_norm": jnp.ones((d,), dtype),
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = mat(d, cfg.vocab_size)
+    return params
+
+
+def _proj(x, p):
+    y = x @ p["w"]
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def _layer(
+    x: jnp.ndarray,
+    p: Params,
+    cfg: DecoderConfig,
+    positions: jnp.ndarray,
+    cache_k: jnp.ndarray,
+    cache_v: jnp.ndarray,
+    start: jnp.ndarray,
+    kv_length: jnp.ndarray,
+    decode: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One transformer block. Returns (x, new_cache_k, new_cache_v).
+
+    cache_k/v: [B, Hkv, Lmax, Dh]; start: [B] write offset (== cache length
+    before this call); kv_length: [B] valid KV length *after* writing.
+    """
+    b, s, d = x.shape
+    hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    h = rmsnorm(x, p["input_norm"], cfg.rms_eps)
+    q = _proj(h, p["attn"]["q"]).reshape(b, s, hq, dh).transpose(0, 2, 1, 3)
+    k = _proj(h, p["attn"]["k"]).reshape(b, s, hkv, dh).transpose(0, 2, 1, 3)
+    v = _proj(h, p["attn"]["v"]).reshape(b, s, hkv, dh).transpose(0, 2, 1, 3)
+    q = rope(q, positions, cfg.rope_theta)
+    k = rope(k, positions, cfg.rope_theta)
+
+    # Write new K/V into the cache at `start` (batch rows share the offset in
+    # prefill because prompts are left-aligned; decode writes one slot).
+    new_k = jax.lax.dynamic_update_slice(
+        cache_k, k.astype(cache_k.dtype), (0, 0, start[0], 0)
+    )
+    new_v = jax.lax.dynamic_update_slice(
+        cache_v, v.astype(cache_v.dtype), (0, 0, start[0], 0)
+    )
+
+    if decode:
+        o = decode_attention(q, new_k, new_v, kv_length)
+    else:
+        # Prefill: attend within the freshly written window (start == 0 for a
+        # fresh cache; kv_length masks padding).
+        o = prefill_attention(q, k, v, kv_length, causal=True)
+    o = o.transpose(0, 2, 1, 3).reshape(b, s, hq * dh)
+    x = x + _proj(o, p["attn"]["o"])
+
+    h = rmsnorm(x, p["post_norm"], cfg.rms_eps)
+    gated = jax.nn.silu((h @ p["mlp"]["gate"]).astype(jnp.float32)).astype(h.dtype)
+    x = x + (gated * (h @ p["mlp"]["up"])) @ p["mlp"]["down"]
+    return x, new_k, new_v
+
+
+def forward(
+    params: Params,
+    cfg: DecoderConfig,
+    embeds: jnp.ndarray,
+    positions: jnp.ndarray,
+    cache: KVCache,
+    seq_length: jnp.ndarray,
+    *,
+    decode: bool,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Run the stack over input embeddings.
+
+    embeds: [B, S, D]; positions: [B, S]; seq_length: [B] — number of valid
+    tokens in `embeds` (rest is padding). Returns (hidden [B, S, D], cache).
+    """
+    start = cache.length
+    kv_length = cache.length + seq_length
+    x = embeds
+    new_ks, new_vs = [], []
+    for i, p in enumerate(params["layers"]):
+        x, nk, nv = _layer(
+            x, p, cfg, positions, cache.k[i], cache.v[i], start, kv_length, decode
+        )
+        new_ks.append(nk)
+        new_vs.append(nv)
+    x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    new_cache = KVCache(
+        k=jnp.stack(new_ks), v=jnp.stack(new_vs), length=kv_length
+    )
+    return x, new_cache
+
+
+def logits_from_hidden(params: Params, cfg: DecoderConfig, hidden: jnp.ndarray) -> jnp.ndarray:
+    head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
+    return (hidden.astype(jnp.float32) @ head.astype(jnp.float32))
+
+
+def embed_tokens(params: Params, token_ids: jnp.ndarray) -> jnp.ndarray:
+    """Reference `model.get_model().embed_tokens` equivalent."""
+    return jnp.take(params["embed"], token_ids, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def prefill(
+    params: Params,
+    cfg: DecoderConfig,
+    embeds: jnp.ndarray,
+    cache: KVCache,
+    seq_length: jnp.ndarray,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Prefill a (padded) prompt of embeddings; returns (last-token logits, cache)."""
+    b, s, _ = embeds.shape
+    positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
+    hidden, cache = forward(
+        params, cfg, embeds, positions, cache, seq_length, decode=False
+    )
+    last = jnp.take_along_axis(
+        hidden, (seq_length - 1)[:, None, None].astype(jnp.int32), axis=1
+    )  # [B, 1, D]
+    return logits_from_hidden(params, cfg, last)[:, 0], cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def decode_step(
+    params: Params,
+    cfg: DecoderConfig,
+    token_ids: jnp.ndarray,
+    cache: KVCache,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """One decode step for token_ids [B]; returns (logits [B, V], cache)."""
+    b = token_ids.shape[0]
+    embeds = embed_tokens(params, token_ids)[:, None, :]
+    positions = cache.length[:, None]
+    hidden, cache = forward(
+        params, cfg, embeds, positions, cache,
+        jnp.ones((b,), jnp.int32), decode=True,
+    )
+    return logits_from_hidden(params, cfg, hidden)[:, 0], cache

@@ -1,0 +1,194 @@
+"""LongVA assembly: vision tower + projector + Qwen2 decoder + splice.
+
+One TPU-resident model serves both the answerer and captioner roles — the
+reference loads the *same* checkpoint twice onto two 80GB GPUs purely for
+memory reasons (inference_streaming_longva_v2.py:697-700); here the roles are
+just different prompts.
+
+Key public methods mirror the reference surface:
+* `encode_images` (llava_arch.py:179-184): pixels -> [N, 576, 4096].
+* `generate_with_image_embedding` (llava_qwen.py:138-189): prompt text with
+  `<image>` markers + precomputed visual embeddings -> generated text, with
+  the embedding-splice semantics of
+  `prepare_inputs_embeddings_for_multimodal` (llava_arch.py:208-343).
+
+Prompt embeddings are assembled eagerly (host-orchestrated concat — the
+ragged part), padded to a 128 bucket, then a single jitted
+prefill+decode-loop program runs per (bucket, max_new_tokens) signature.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from streamchat_tpu.config import DecoderConfig, ViTConfig
+from streamchat_tpu.models import decoder, generate as genlib, projector, vit
+from streamchat_tpu.models.decoder import KVCache
+from streamchat_tpu.models.tokenizer import (
+    IMAGE_TOKEN_INDEX,
+    ByteTokenizer,
+    load_tokenizer,
+    tokenize_with_image_token,
+)
+from streamchat_tpu.utils.prng import KeySeq
+
+
+@dataclasses.dataclass
+class LongVA:
+    vit_params: dict
+    proj_params: dict
+    dec_params: dict
+    vit_cfg: ViTConfig
+    dec_cfg: DecoderConfig
+    tokenizer: object
+    keys: KeySeq
+
+    # ------------------------------------------------------------------
+    # Construction
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def init_random(
+        cls,
+        key: jax.Array,
+        vit_cfg: ViTConfig | None = None,
+        dec_cfg: DecoderConfig | None = None,
+        tokenizer=None,
+        dtype=jnp.bfloat16,
+    ) -> "LongVA":
+        vit_cfg = vit_cfg or ViTConfig()
+        dec_cfg = dec_cfg or DecoderConfig.qwen2_7b()
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        return cls(
+            vit_params=vit.init(k1, vit_cfg, dtype),
+            proj_params=projector.init(
+                k2, vit_cfg.hidden_size, dec_cfg.hidden_size, dtype
+            ),
+            dec_params=decoder.init(k3, dec_cfg, dtype),
+            vit_cfg=vit_cfg,
+            dec_cfg=dec_cfg,
+            tokenizer=tokenizer or ByteTokenizer(),
+            keys=KeySeq(k4),
+        )
+
+    @classmethod
+    def from_pretrained(cls, path: str, dtype=jnp.bfloat16) -> "LongVA":
+        """Load a LongVA HF checkpoint (builder.py:27 equivalent)."""
+        from streamchat_tpu.models import weights
+
+        vit_cfg, dec_cfg, vit_p, proj_p, dec_p = weights.load_longva(path, dtype)
+        return cls(
+            vit_params=vit_p,
+            proj_params=proj_p,
+            dec_params=dec_p,
+            vit_cfg=vit_cfg,
+            dec_cfg=dec_cfg,
+            tokenizer=load_tokenizer(path),
+            keys=KeySeq(0),
+        )
+
+    # ------------------------------------------------------------------
+    # Vision path
+    # ------------------------------------------------------------------
+
+    def encode_images(self, pixels: jnp.ndarray) -> jnp.ndarray:
+        """[N, 3, H, W] -> [N, P, lm_hidden] (tower -> projector; resampler
+        is identity for LongVA)."""
+        feats = vit.encode(self.vit_params, pixels, self.vit_cfg)
+        return projector.apply(self.proj_params, feats)
+
+    # ------------------------------------------------------------------
+    # Embedding splice
+    # ------------------------------------------------------------------
+
+    def splice_prompt(
+        self,
+        prompt: str,
+        image_embeddings: Optional[Sequence[jnp.ndarray]],
+        bucket: int = 128,
+        max_len: Optional[int] = None,
+    ) -> Tuple[jnp.ndarray, int]:
+        """Prompt text -> (padded embeds [1, S_pad, D], valid length).
+
+        Each `<image>` marker consumes the next entry of image_embeddings (a
+        [T, D] feature block). Truncates to dec_cfg.max_position_embeddings
+        like the reference's tokenizer_model_max_length clamp
+        (llava_arch.py:288-291).
+        """
+        ids = tokenize_with_image_token(prompt, self.tokenizer)
+        dtype = self.dec_params["embed"].dtype
+        segments: List[jnp.ndarray] = []
+        img_idx = 0
+        text_run: List[int] = []
+
+        def flush_text():
+            nonlocal text_run
+            if text_run:
+                segments.append(
+                    decoder.embed_tokens(
+                        self.dec_params, jnp.asarray(text_run, jnp.int32)
+                    )
+                )
+                text_run = []
+
+        for tid in ids:
+            if tid == IMAGE_TOKEN_INDEX:
+                flush_text()
+                if image_embeddings is None or img_idx >= len(image_embeddings):
+                    raise ValueError("prompt has more <image> tokens than embeddings")
+                feats = image_embeddings[img_idx]
+                img_idx += 1
+                segments.append(feats.reshape(-1, feats.shape[-1]).astype(dtype))
+            else:
+                text_run.append(tid)
+        flush_text()
+
+        embeds = jnp.concatenate(segments, axis=0)
+        limit = max_len or self.dec_cfg.max_position_embeddings
+        embeds = embeds[:limit]
+        length = embeds.shape[0]
+        padded = genlib.pad_to_bucket(length, bucket)
+        if padded > length:
+            pad = jnp.zeros((padded - length, embeds.shape[1]), embeds.dtype)
+            embeds = jnp.concatenate([embeds, pad], axis=0)
+        return embeds[None], length
+
+    # ------------------------------------------------------------------
+    # Generation
+    # ------------------------------------------------------------------
+
+    def generate_with_image_embedding(
+        self,
+        prompt: str,
+        image_embeddings: Optional[Sequence[jnp.ndarray]] = None,
+        *,
+        max_new_tokens: int = 256,
+        temperature: float = 0.0,
+        top_p: float | None = None,
+        key: jax.Array | None = None,
+    ) -> str:
+        embeds, length = self.splice_prompt(prompt, image_embeddings)
+        cache = KVCache.create(
+            self.dec_cfg,
+            batch=1,
+            max_len=embeds.shape[1] + max_new_tokens,
+            dtype=embeds.dtype,
+        )
+        toks, count = genlib.generate(
+            self.dec_params,
+            self.dec_cfg,
+            embeds,
+            jnp.array([length], jnp.int32),
+            cache,
+            key if key is not None else self.keys(),
+            max_new_tokens=max_new_tokens,
+            temperature=temperature,
+            top_p=top_p,
+            eos_ids=tuple(self.tokenizer.eos_ids),
+        )
+        n = int(count[0])
+        return self.tokenizer.decode([int(t) for t in toks[0][:n]]).strip()

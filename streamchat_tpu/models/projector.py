@@ -1,0 +1,35 @@
+"""Multimodal projector: ViT patch features -> LM embedding space.
+
+LongVA uses `mlp2x_gelu` (Linear 1024->4096, GELU, Linear 4096->4096);
+reference registry at `longva/model/multimodal_projector/builder.py:65` and
+call site `llava_arch.py:179-183` (vision_resampler is identity for LongVA).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+def init(key: jax.Array, in_dim: int, out_dim: int, dtype=jnp.bfloat16) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "fc1": {
+            "w": (jax.random.normal(k1, (in_dim, out_dim)) * in_dim**-0.5).astype(dtype),
+            "b": jnp.zeros((out_dim,), dtype),
+        },
+        "fc2": {
+            "w": (jax.random.normal(k2, (out_dim, out_dim)) * out_dim**-0.5).astype(dtype),
+            "b": jnp.zeros((out_dim,), dtype),
+        },
+    }
+
+
+def apply(params: Params, features: jnp.ndarray) -> jnp.ndarray:
+    h = features @ params["fc1"]["w"] + params["fc1"]["b"]
+    h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(features.dtype)
+    return h @ params["fc2"]["w"] + params["fc2"]["b"]

@@ -1,0 +1,152 @@
+"""CLIP vision tower in pure JAX.
+
+Rebuilds what the reference gets from HF `CLIPVisionModel`
+(`longva/model/multimodal_encoder/clip_encoder.py:68-79`): ViT-L/14-336,
+hidden_states[select_layer] (default -2, i.e. features entering the last
+block), CLS dropped -> [N, 576, 1024] patch tokens.
+
+TPU-first choices:
+* Patch embedding as an unfold + one [N*576, 588]x[588, 1024] matmul on the
+  MXU instead of a conv (they're identical for stride == kernel).
+* `select_layer=-2` means the last transformer block is never computed — we
+  simply run num_layers-1 blocks rather than materializing all hidden states
+  the way HF's output_hidden_states does.
+* Whole encoder is one jit region; XLA fuses LN/GELU/residuals into the
+  matmuls. Attention over 577 tokens is tiny — plain dot-product attention
+  (flash tiling would only add padding waste at this length).
+* Params kept in bf16, layernorm/softmax accumulate in f32.
+
+Functional style: `init(key, cfg)` builds a param pytree, `encode(params,
+cfg, pixels)` is pure and jittable.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from streamchat_tpu.config import ViTConfig
+
+Params = Dict[str, Any]
+
+
+def _layernorm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, eps: float) -> jnp.ndarray:
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def _quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """CLIP's activation: x * sigmoid(1.702 x)."""
+    return x * jax.nn.sigmoid(1.702 * x.astype(jnp.float32)).astype(x.dtype)
+
+
+def _attention(x: jnp.ndarray, p: Params, num_heads: int) -> jnp.ndarray:
+    n, s, d = x.shape
+    dh = d // num_heads
+    q = (x @ p["q"]["w"] + p["q"]["b"]).reshape(n, s, num_heads, dh)
+    k = (x @ p["k"]["w"] + p["k"]["b"]).reshape(n, s, num_heads, dh)
+    v = (x @ p["v"]["w"] + p["v"]["b"]).reshape(n, s, num_heads, dh)
+    s_qk = jnp.einsum("nqhd,nkhd->nhqk", q, k, preferred_element_type=jnp.float32)
+    s_qk *= dh ** -0.5
+    a = jax.nn.softmax(s_qk, axis=-1).astype(x.dtype)
+    o = jnp.einsum("nhqk,nkhd->nqhd", a, v).reshape(n, s, d)
+    return o @ p["o"]["w"] + p["o"]["b"]
+
+
+def _block(x: jnp.ndarray, p: Params, cfg: ViTConfig) -> jnp.ndarray:
+    h = _layernorm(x, p["ln1"]["scale"], p["ln1"]["bias"], cfg.layernorm_eps)
+    x = x + _attention(h, p["attn"], cfg.num_heads)
+    h = _layernorm(x, p["ln2"]["scale"], p["ln2"]["bias"], cfg.layernorm_eps)
+    h = _quick_gelu(h @ p["mlp"]["fc1"]["w"] + p["mlp"]["fc1"]["b"])
+    return x + (h @ p["mlp"]["fc2"]["w"] + p["mlp"]["fc2"]["b"])
+
+
+def init(key: jax.Array, cfg: ViTConfig, dtype=jnp.bfloat16) -> Params:
+    """Random-init parameter tree with the exact CLIP-L/336 geometry."""
+    keys = iter(jax.random.split(key, 16 + 16 * cfg.num_layers))
+
+    def dense(kin, kout, scale=None):
+        scale = scale if scale is not None else (1.0 / kin) ** 0.5
+        return {
+            "w": (jax.random.normal(next(keys), (kin, kout)) * scale).astype(dtype),
+            "b": jnp.zeros((kout,), dtype),
+        }
+
+    def ln():
+        return {"scale": jnp.ones((cfg.hidden_size,), dtype),
+                "bias": jnp.zeros((cfg.hidden_size,), dtype)}
+
+    d = cfg.hidden_size
+    patch_dim = 3 * cfg.patch_size * cfg.patch_size
+    layers = []
+    for _ in range(cfg.num_layers):
+        layers.append({
+            "ln1": ln(),
+            "attn": {
+                "q": dense(d, d), "k": dense(d, d),
+                "v": dense(d, d), "o": dense(d, d),
+            },
+            "ln2": ln(),
+            "mlp": {
+                "fc1": dense(d, cfg.intermediate_size),
+                "fc2": dense(cfg.intermediate_size, d),
+            },
+        })
+    return {
+        "patch_embed": {
+            "w": (jax.random.normal(next(keys), (patch_dim, d)) * patch_dim**-0.5).astype(dtype)
+        },
+        "class_embed": (jax.random.normal(next(keys), (d,)) * 0.02).astype(dtype),
+        "pos_embed": (
+            jax.random.normal(next(keys), (cfg.num_patches + 1, d)) * 0.02
+        ).astype(dtype),
+        "pre_ln": ln(),
+        "layers": layers,
+    }
+
+
+def _embed_patches(pixels: jnp.ndarray, w: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
+    """[N, 3, H, W] -> [N, P, hidden] via unfold + matmul (stride == kernel)."""
+    n = pixels.shape[0]
+    ps = cfg.patch_size
+    g = cfg.num_patches_per_side
+    x = pixels.reshape(n, 3, g, ps, g, ps)
+    # -> [N, g, g, 3, ps, ps]: channel-major inside the patch matches the HF
+    # conv kernel layout (out, in, kh, kw) once that is flattened to 2D.
+    x = x.transpose(0, 2, 4, 1, 3, 5).reshape(n, g * g, 3 * ps * ps)
+    return x.astype(w.dtype) @ w
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "select_layer"))
+def hidden_states(
+    params: Params, pixels: jnp.ndarray, cfg: ViTConfig, select_layer: int | None = None
+) -> jnp.ndarray:
+    """Run the tower up to `select_layer`, returning [N, 1+P, hidden]."""
+    if select_layer is None:
+        select_layer = cfg.select_layer
+    num_blocks = cfg.num_layers + 1 + select_layer if select_layer < 0 else select_layer
+    x = _embed_patches(pixels, params["patch_embed"]["w"], cfg)
+    cls = jnp.broadcast_to(
+        params["class_embed"][None, None, :], (x.shape[0], 1, cfg.hidden_size)
+    )
+    x = jnp.concatenate([cls, x], axis=1) + params["pos_embed"][None]
+    x = _layernorm(x, params["pre_ln"]["scale"], params["pre_ln"]["bias"], cfg.layernorm_eps)
+    for p in params["layers"][:num_blocks]:
+        x = _block(x, p, cfg)
+    return x
+
+
+def encode(params: Params, pixels: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
+    """Patch features [N, P, hidden]: hidden_states[select_layer] minus CLS.
+
+    Reference: CLIPVisionTower.forward + feature_select
+    (clip_encoder.py:57-79, mm_vision_select_feature="patch").
+    """
+    h = hidden_states(params, pixels, cfg)
+    return h[:, 1:, :]

@@ -1,0 +1,116 @@
+"""Decoder core: prefill/decode cache consistency, generation loop."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from streamchat_tpu.config import DecoderConfig
+from streamchat_tpu.models import decoder
+from streamchat_tpu.models.decoder import KVCache
+from streamchat_tpu.models.generate import generate, pad_to_bucket
+
+CFG = DecoderConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def params():
+    return decoder.init(jax.random.key(0), CFG, dtype=jnp.float32)
+
+
+def _embeds(params, ids):
+    return decoder.embed_tokens(params, ids)
+
+
+def test_prefill_shapes(params):
+    ids = jnp.arange(10, dtype=jnp.int32)[None]
+    cache = KVCache.create(CFG, 1, 64, jnp.float32)
+    logits, cache = decoder.prefill(
+        params, CFG, _embeds(params, ids), cache, jnp.array([10], jnp.int32)
+    )
+    assert logits.shape == (1, CFG.vocab_size)
+    assert int(cache.length[0]) == 10
+
+
+def test_decode_matches_prefill(params):
+    """Incremental decode must reproduce full-prefill logits."""
+    ids = jax.random.randint(jax.random.key(1), (1, 12), 0, CFG.vocab_size)
+
+    # Full prefill over all 12 tokens -> logits at position 11.
+    cache_a = KVCache.create(CFG, 1, 64, jnp.float32)
+    full_logits, _ = decoder.prefill(
+        params, CFG, _embeds(params, ids), cache_a, jnp.array([12], jnp.int32)
+    )
+
+    # Prefill 8, then decode tokens 8..11 one at a time.
+    cache_b = KVCache.create(CFG, 1, 64, jnp.float32)
+    _, cache_b = decoder.prefill(
+        params, CFG, _embeds(params, ids[:, :8]), cache_b, jnp.array([8], jnp.int32)
+    )
+    logits = None
+    for t in range(8, 12):
+        logits, cache_b = decoder.decode_step(params, CFG, ids[:, t], cache_b)
+    assert int(cache_b.length[0]) == 12
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(full_logits), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_prefill_ignores_padding(params):
+    """Padded prompt positions must not affect logits at the last valid token."""
+    ids = jax.random.randint(jax.random.key(2), (1, 6), 0, CFG.vocab_size)
+    padded = jnp.concatenate(
+        [ids, jnp.full((1, 10), 7, jnp.int32)], axis=1
+    )
+    cache_a = KVCache.create(CFG, 1, 64, jnp.float32)
+    la, _ = decoder.prefill(
+        params, CFG, _embeds(params, ids), cache_a, jnp.array([6], jnp.int32)
+    )
+    cache_b = KVCache.create(CFG, 1, 64, jnp.float32)
+    lb, _ = decoder.prefill(
+        params, CFG, _embeds(params, padded), cache_b, jnp.array([6], jnp.int32)
+    )
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=2e-4, atol=2e-4)
+
+
+def test_generate_greedy_deterministic(params):
+    ids = jnp.arange(5, dtype=jnp.int32)[None]
+    outs = []
+    for seed in (0, 1):
+        cache = KVCache.create(CFG, 1, 64, jnp.float32)
+        toks, count = generate(
+            params, CFG, _embeds(params, ids), jnp.array([5], jnp.int32),
+            cache, jax.random.key(seed), max_new_tokens=8, temperature=0.0,
+        )
+        outs.append(np.asarray(toks))
+        assert toks.shape == (1, 8)
+        assert 0 <= int(count[0]) <= 8
+    # Greedy: key must not matter.
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_generate_matches_stepwise_greedy(params):
+    """The fused loop must agree with manual prefill + argmax decode."""
+    ids = jnp.arange(4, dtype=jnp.int32)[None]
+    cache = KVCache.create(CFG, 1, 64, jnp.float32)
+    toks, _ = generate(
+        params, CFG, _embeds(params, ids), jnp.array([4], jnp.int32),
+        cache, jax.random.key(0), max_new_tokens=4, temperature=0.0,
+    )
+    cache2 = KVCache.create(CFG, 1, 64, jnp.float32)
+    logits, cache2 = decoder.prefill(
+        params, CFG, _embeds(params, ids), cache2, jnp.array([4], jnp.int32)
+    )
+    manual = []
+    for _ in range(4):
+        t = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        manual.append(int(t[0]))
+        logits, cache2 = decoder.decode_step(params, CFG, t, cache2)
+    assert np.asarray(toks)[0].tolist() == manual
+
+
+def test_pad_to_bucket():
+    assert pad_to_bucket(1) == 128
+    assert pad_to_bucket(128) == 128
+    assert pad_to_bucket(129) == 256
+    assert pad_to_bucket(700, 256) == 768
