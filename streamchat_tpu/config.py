@@ -141,6 +141,19 @@ class ViTConfig:
     def num_patches(self) -> int:
         return self.num_patches_per_side ** 2
 
+    @classmethod
+    def tiny(cls, projection_dim: int = 128) -> "ViTConfig":
+        """Small geometry for unit tests and the multichip dry run."""
+        return cls(
+            image_size=56,
+            patch_size=14,
+            hidden_size=64,
+            intermediate_size=128,
+            num_layers=2,
+            num_heads=4,
+            projection_dim=projection_dim,
+        )
+
 
 @dataclasses.dataclass(frozen=True)
 class DecoderConfig:

@@ -75,6 +75,7 @@ def rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
     return out.astype(x.dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "dtype"))
 def init(key: jax.Array, cfg: DecoderConfig, dtype=jnp.bfloat16) -> Params:
     d, dh = cfg.hidden_size, cfg.head_dim
     hq, hkv, f = cfg.num_heads, cfg.num_kv_heads, cfg.intermediate_size

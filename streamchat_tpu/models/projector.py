@@ -7,6 +7,7 @@ call site `llava_arch.py:179-183` (vision_resampler is identity for LongVA).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict
 
 import jax
@@ -15,6 +16,7 @@ import jax.numpy as jnp
 Params = Dict[str, Any]
 
 
+@functools.partial(jax.jit, static_argnames=("in_dim", "out_dim", "dtype"))
 def init(key: jax.Array, in_dim: int, out_dim: int, dtype=jnp.bfloat16) -> Params:
     k1, k2 = jax.random.split(key)
     return {

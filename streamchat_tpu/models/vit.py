@@ -67,8 +67,12 @@ def _block(x: jnp.ndarray, p: Params, cfg: ViTConfig) -> jnp.ndarray:
     return x + (h @ p["mlp"]["fc2"]["w"] + p["mlp"]["fc2"]["b"])
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "dtype"))
 def init(key: jax.Array, cfg: ViTConfig, dtype=jnp.bfloat16) -> Params:
-    """Random-init parameter tree with the exact CLIP-L/336 geometry."""
+    """Random-init parameter tree with the exact CLIP-L/336 geometry.
+
+    Jitted as ONE program: eager per-tensor init costs a compile per
+    distinct shape (~500 s for ViT-L over the remote-TPU tunnel)."""
     keys = iter(jax.random.split(key, 16 + 16 * cfg.num_layers))
 
     def dense(kin, kout, scale=None):

@@ -1,0 +1,117 @@
+"""Parameter / activation sharding rules (Megatron-style TP over the mesh).
+
+The rules return PartitionSpec pytrees shaped exactly like the param trees
+from `models/decoder.init`, `models/vit.init`, `models/projector.init`.
+Applying them with `shard_pytree` + running under `jax.jit` lets XLA's
+sharding propagation place one all-reduce after the attention o-projection
+and one after the MLP down-projection — the textbook TP schedule — without
+any hand-written collectives.
+
+Layout choices:
+  * q/k/v and gate/up: shard the *output* dim over `model` (head- and
+    column-parallel).
+  * o and down: shard the *input* dim (row-parallel) so the matmul's partial
+    sums trigger the psum.
+  * embed / lm_head: shard the vocab dim; logits gather rides the same axis.
+  * KV cache: heads over `model`, batch over `data` — decode attention then
+    needs no cross-device traffic at all.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from streamchat_tpu.config import DecoderConfig
+from streamchat_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+
+def decoder_pspecs(cfg: DecoderConfig, model_axis: str = MODEL_AXIS) -> Dict[str, Any]:
+    """PartitionSpec tree matching `models/decoder.init(cfg)`."""
+    m = model_axis
+
+    def attn():
+        spec = {
+            "q": {"w": P(None, m)},
+            "k": {"w": P(None, m)},
+            "v": {"w": P(None, m)},
+            "o": {"w": P(m, None)},
+        }
+        if cfg.qkv_bias:
+            spec["q"]["b"] = P(m)
+            spec["k"]["b"] = P(m)
+            spec["v"]["b"] = P(m)
+        return spec
+
+    layer = {
+        "input_norm": P(None),
+        "attn": attn(),
+        "post_norm": P(None),
+        "mlp": {"gate": P(None, m), "up": P(None, m), "down": P(m, None)},
+    }
+    specs: Dict[str, Any] = {
+        "embed": P(m, None),
+        "layers": [layer for _ in range(cfg.num_layers)],
+        "final_norm": P(None),
+    }
+    if not cfg.tie_embeddings:
+        specs["lm_head"] = P(None, m)
+    return specs
+
+
+def vit_pspecs(num_layers: int, model_axis: str = MODEL_AXIS) -> Dict[str, Any]:
+    """PartitionSpec tree matching `models/vit.init`."""
+    m = model_axis
+
+    def dense_col():
+        return {"w": P(None, m), "b": P(m)}
+
+    def dense_row():
+        return {"w": P(m, None), "b": P(None)}
+
+    def ln():
+        return {"scale": P(None), "bias": P(None)}
+
+    layer = {
+        "ln1": ln(),
+        "attn": {"q": dense_col(), "k": dense_col(), "v": dense_col(), "o": dense_row()},
+        "ln2": ln(),
+        "mlp": {"fc1": dense_col(), "fc2": dense_row()},
+    }
+    return {
+        "patch_embed": {"w": P(None, None)},
+        "class_embed": P(None),
+        "pos_embed": P(None, None),
+        "pre_ln": ln(),
+        "layers": [layer for _ in range(num_layers)],
+    }
+
+
+def projector_pspecs(model_axis: str = MODEL_AXIS) -> Dict[str, Any]:
+    """PartitionSpec tree matching `models/projector.init` (2-layer MLP)."""
+    m = model_axis
+    return {
+        "fc1": {"w": P(None, m), "b": P(m)},
+        "fc2": {"w": P(m, None), "b": P(None)},
+    }
+
+
+def kv_cache_pspecs(data_axis: str = DATA_AXIS, model_axis: str = MODEL_AXIS):
+    """Specs for decoder.KVCache: [layers, B, Hkv, Lmax, Dh] ×2 + length [B]."""
+    from streamchat_tpu.models.decoder import KVCache
+
+    return KVCache(
+        k=P(None, data_axis, model_axis, None, None),
+        v=P(None, data_axis, model_axis, None, None),
+        length=P(data_axis),
+    )
+
+
+def shard_pytree(tree: Any, specs: Any, mesh: Mesh) -> Any:
+    """device_put every leaf with its NamedSharding."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs,
+        is_leaf=lambda x: x is None,
+    )
