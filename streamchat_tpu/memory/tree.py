@@ -1,0 +1,256 @@
+"""Hierarchical long-term visual memory tree.
+
+Rebuilds the reference's `MultimodalTreeNode` forest (`utiles.py:48-56`) and
+the incremental build / splice logic of
+`fast_building_memory_tree_summarize_token` (`utiles.py:489-620`) plus the
+greedy retrieval of `fast_search_tree_multi_modal_with_embedding`
+(`utiles.py:685-788`).
+
+Semantics preserved:
+  * New chunks enter as depth-0 roots (centroids + caption).
+  * The summarize depth is the DEEPEST depth whose root count is a positive
+    multiple of `interval` (`get_summarize_depth`, utiles.py:525-536); when
+    its count reaches `interval`, the first `interval` consecutive roots at
+    that depth are merged: their centroids k-means-reduced back to
+    `num_clusters`, their captions LLM-summarized with the ordinal prompt,
+    and a depth+1 parent is spliced into the root list in their place.
+  * Search: for each root with depth > 0, greedy descent picking the child
+    whose caption embedding has max cosine similarity to the query, emitting
+    (centroids, caption) at every level; leftover depth-0 roots are ranked
+    once and the best one appended. The LAST caption in the output is the
+    "most fine-grained" text injected into the answer prompt.
+
+TPU-first changes (behavior-preserving):
+  * Caption embeddings are computed ONCE per node (batched through the
+    embedder) and cached on the node; search is pure argmax over cosine
+    scores computed in one matmul per level — the reference re-runs a full
+    mxbai-colbert forward per node per question (utiles.py:704-777).
+  * `sim > best_sim` with best_sim initialized to 0 means the reference
+    falls back to child 0 / redundant-node 0 when all sims are <= 0; we
+    reproduce that by seeding best_index = 0.
+  * Generation (captioning / summarizing) is injected as callables so the
+    tree itself has no model dependency — testable exactly like the
+    reference's mocked-summarizer simulation (utiles.py:2036).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from streamchat_tpu.ops.retrieval import cosine_scores
+
+# Caption text -> [E] embedding (batched: List[str] -> [N, E]).
+EmbedFn = Callable[[List[str]], jnp.ndarray]
+# List of captions -> merged summary text.
+SummarizeFn = Callable[[List[str]], str]
+# (flat combined centroids [T, P, D], k) -> merged centroids [k, P, D].
+MergeFn = Callable[[jnp.ndarray, int], jnp.ndarray]
+
+
+@dataclasses.dataclass
+class MemoryTreeNode:
+    """One tree node: device-resident centroid features + host metadata."""
+
+    centroids: jnp.ndarray                 # [K, P, D] clustered frame features
+    text: str                              # caption / summary
+    depth: int = 0
+    children: List["MemoryTreeNode"] = dataclasses.field(default_factory=list)
+    emb: Optional[np.ndarray] = None       # cached caption embedding [E]
+
+
+def _count_by_depth(roots: Sequence[MemoryTreeNode]) -> Dict[int, int]:
+    """Root-level depth histogram (reference count_nodes_by_depth,
+    utiles.py:1002-1011, applied to the root list)."""
+    counts: Dict[int, int] = {}
+    for n in roots:
+        counts[n.depth] = counts.get(n.depth, 0) + 1
+    return counts
+
+
+def _summarize_depth(roots: Sequence[MemoryTreeNode], interval: int) -> int:
+    """Deepest root depth whose count is a positive multiple of `interval`
+    (utiles.py:525-536); 0 if none qualifies."""
+    counts = _count_by_depth(roots)
+    for depth in range(max(counts), -1, -1):
+        c = counts.get(depth, 0)
+        if c > 0 and c % interval == 0:
+            return depth
+    return 0
+
+
+class VisualMemoryTree:
+    """Forest of memory nodes with incremental summarize-splice updates."""
+
+    def __init__(
+        self,
+        num_clusters: int,
+        interval: int,
+        embed_fn: EmbedFn,
+        summarize_fn: SummarizeFn,
+        merge_fn: MergeFn,
+    ) -> None:
+        self.num_clusters = num_clusters
+        self.interval = interval
+        self._embed = embed_fn
+        self._summarize = summarize_fn
+        self._merge = merge_fn
+        self.roots: List[MemoryTreeNode] = []
+
+    # ------------------------------------------------------------------
+    # Build
+    # ------------------------------------------------------------------
+
+    def add_chunks(
+        self, centroids_list: Sequence[jnp.ndarray], captions: Sequence[str]
+    ) -> None:
+        """Append captioned chunks as depth-0 roots, then merge if due.
+
+        Mirrors the tail of `fast_building_memory_tree_summarize_token`
+        (utiles.py:561-616) with captions precomputed by the caller (the
+        pipeline owns the captioner model).
+        """
+        if len(centroids_list) != len(captions):
+            raise ValueError("centroids/captions length mismatch")
+        if captions:
+            embs = np.asarray(self._embed(list(captions)))
+            for c, t, e in zip(centroids_list, captions, embs):
+                self.roots.append(MemoryTreeNode(centroids=c, text=t, emb=e))
+        self._maybe_merge()
+
+    def _maybe_merge(self) -> None:
+        """One summarize-splice pass (reference does at most one per update)."""
+        if not self.roots:
+            return
+        depth = _summarize_depth(self.roots, self.interval)
+        at_depth = [n for n in self.roots if n.depth == depth]
+        if len(at_depth) < self.interval:
+            return
+        start = next(
+            i for i, n in enumerate(self.roots) if n.depth == depth
+        )
+        chunk = self.roots[start : start + self.interval]
+        combined = jnp.concatenate([n.centroids for n in chunk], axis=0)
+        if combined.shape[0] > self.num_clusters:
+            merged = self._merge(combined, self.num_clusters)
+        else:
+            merged = combined
+        summary = self._summarize([n.text for n in chunk])
+        parent = MemoryTreeNode(
+            centroids=merged,
+            text=summary,
+            depth=chunk[0].depth + 1,
+            children=list(chunk),
+            emb=np.asarray(self._embed([summary]))[0],
+        )
+        self.roots[start : start + self.interval] = [parent]
+
+    # ------------------------------------------------------------------
+    # Search
+    # ------------------------------------------------------------------
+
+    def search(
+        self, query_emb: jnp.ndarray
+    ) -> Tuple[List[jnp.ndarray], List[str]]:
+        """Greedy multi-root descent by caption-embedding cosine similarity.
+
+        query_emb: [E] question embedding (CLS-pooled, reference
+        utiles.py:704-708). Returns (features per visited level, captions per
+        visited level); empty lists when the tree has no summarized roots and
+        no depth-0 leftovers.
+        """
+        path_features: List[jnp.ndarray] = []
+        path_text: List[str] = []
+        redundant: List[MemoryTreeNode] = []
+        q = jnp.asarray(query_emb)[None]                     # [1, E]
+
+        def best(nodes: Sequence[MemoryTreeNode]) -> int:
+            embs = jnp.asarray(np.stack([n.emb for n in nodes]))
+            sims = np.asarray(cosine_scores(q, embs))[0]     # [N]
+            # Reference keeps index 0 unless some sim strictly beats 0
+            # (best_sim starts at 0, strict >; utiles.py:721-744).
+            idx = int(np.argmax(sims))
+            return idx if sims[idx] > 0 else 0
+
+        for root in self.roots:
+            if root.depth == 0:
+                redundant.append(root)
+                continue
+            node = root
+            while node.children:
+                i = best(node.children)
+                node = node.children[i]
+                path_features.append(node.centroids)
+                path_text.append(node.text)
+
+        if redundant:
+            i = best(redundant)
+            path_features.append(redundant[i].centroids)
+            path_text.append(redundant[i].text)
+
+        return path_features, path_text
+
+    # ------------------------------------------------------------------
+    # Introspection / persistence
+    # ------------------------------------------------------------------
+
+    def counts_by_depth(self) -> Dict[int, int]:
+        return _count_by_depth(self.roots)
+
+    def __len__(self) -> int:
+        return len(self.roots)
+
+    def all_nodes(self) -> List[MemoryTreeNode]:
+        out: List[MemoryTreeNode] = []
+
+        def walk(n: MemoryTreeNode) -> None:
+            out.append(n)
+            for c in n.children:
+                walk(c)
+
+        for r in self.roots:
+            walk(r)
+        return out
+
+    def to_state(self) -> dict:
+        """Serializable snapshot (centroids as numpy) — the reference keeps
+        the tree in-memory only and loses it per video (SURVEY.md §5
+        checkpoint/resume gap); this closes it."""
+
+        def pack(n: MemoryTreeNode) -> dict:
+            return {
+                "centroids": np.asarray(n.centroids),
+                "text": n.text,
+                "depth": n.depth,
+                "emb": None if n.emb is None else np.asarray(n.emb),
+                "children": [pack(c) for c in n.children],
+            }
+
+        return {"roots": [pack(r) for r in self.roots]}
+
+    @classmethod
+    def from_state(
+        cls,
+        state: dict,
+        num_clusters: int,
+        interval: int,
+        embed_fn: EmbedFn,
+        summarize_fn: SummarizeFn,
+        merge_fn: MergeFn,
+    ) -> "VisualMemoryTree":
+        tree = cls(num_clusters, interval, embed_fn, summarize_fn, merge_fn)
+
+        def unpack(d: dict) -> MemoryTreeNode:
+            return MemoryTreeNode(
+                centroids=jnp.asarray(d["centroids"]),
+                text=d["text"],
+                depth=d["depth"],
+                emb=d["emb"],
+                children=[unpack(c) for c in d["children"]],
+            )
+
+        tree.roots = [unpack(r) for r in state["roots"]]
+        return tree
