@@ -162,8 +162,17 @@ def flash_attention(
     if kv_length is None:
         kv_length = jnp.full((b,), sk, dtype=jnp.int32)
 
-    block_q = min(block_q, sq)
-    block_k = min(block_k, sk)
+    # Prompts are padded to 128-multiples (models/generate.pad_to_bucket);
+    # fall back from the requested block to 128 when the length is not a
+    # multiple of the larger tile (e.g. 640-token prompts).
+    def pick_block(requested: int, s: int) -> int:
+        b = min(requested, s)
+        while b > 128 and s % b:
+            b //= 2
+        return b if s % b == 0 else s
+
+    block_q = pick_block(block_q, sq)
+    block_k = pick_block(block_k, sk)
     if sq % block_q or sk % block_k:
         raise ValueError(f"seq lens ({sq},{sk}) not divisible by blocks ({block_q},{block_k})")
 

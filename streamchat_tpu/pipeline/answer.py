@@ -1,0 +1,100 @@
+"""Question answering at a breakpoint.
+
+Rebuilds `longva_inference_with_embedding_multi_modal`
+(inference_streaming_longva_v2.py:164-264): tree retrieval, prompt assembly
+with the retrieved-dialogue history and the "most fine-grained" caption,
+embedding splice of [short | long] visual memory at `<image>`, and a
+KV-cached generate (the reference runs `use_cache=False`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+
+from streamchat_tpu.config import SamplingConfig
+from streamchat_tpu.memory.tree import VisualMemoryTree
+from streamchat_tpu.pipeline import prompts
+
+
+@dataclasses.dataclass
+class AnswerResult:
+    output: str
+    process_time: float          # retrieval + prompt assembly (reference :160)
+    generate_time: float
+
+
+def answer_question(
+    question: str,
+    model,                        # LongVA facade
+    embed_query,                  # Callable[[str], [E] array] (colbert CLS)
+    short_memory: jnp.ndarray,    # [R, P, D]
+    tree: Optional[VisualMemoryTree],
+    history_prompt: Optional[str],
+    sampling: SamplingConfig,
+    conv_mode: str = "qwen_1_5",
+) -> AnswerResult:
+    t0 = time.time()
+    short_flat = short_memory.reshape(-1, short_memory.shape[-1])
+
+    most_fine_grad_text: Optional[str] = None
+    image_embeddings = short_flat
+    if tree is not None and len(tree) > 0:
+        feats, texts = tree.search(embed_query(question))
+        if feats:
+            long_flat = jnp.concatenate(
+                [f.reshape(-1, f.shape[-1]) for f in feats], axis=0
+            )
+            most_fine_grad_text = texts[-1]
+            image_embeddings = jnp.concatenate([short_flat, long_flat], axis=0)
+
+    qs = prompts.build_answer_prompt(question, history_prompt, most_fine_grad_text)
+    prompt = prompts.wrap_user_turn(conv_mode, qs)
+    t1 = time.time()
+
+    output = model.generate_with_image_embedding(
+        prompt,
+        image_embeddings=[image_embeddings],
+        max_new_tokens=sampling.max_answer_tokens,
+        temperature=sampling.temperature,
+        top_p=sampling.top_p,
+    )
+    t2 = time.time()
+    return AnswerResult(output, t1 - t0, t2 - t1)
+
+
+def make_captioner(model, sampling: SamplingConfig):
+    """Chunk features [T, P, D] -> caption text (updating_memory_buffer's
+    captioning generate, utiles.py:539-556; conv qwen_1_5_ego, 128 tokens,
+    temperature 0.1)."""
+    prompt = prompts.build_caption_prompt()
+
+    def caption(chunk_features: jnp.ndarray) -> str:
+        flat = chunk_features.reshape(-1, chunk_features.shape[-1])
+        return model.generate_with_image_embedding(
+            prompt,
+            image_embeddings=[flat],
+            max_new_tokens=sampling.max_caption_tokens,
+            temperature=sampling.caption_temperature,
+        )
+
+    return caption
+
+
+def make_summarizer(model, sampling: SamplingConfig):
+    """Caption list -> merged summary (text-only generate with the ordinal
+    prompt, utiles.py:505-523, 256 tokens)."""
+
+    def summarize(captions: List[str]) -> str:
+        prompt = prompts.build_summary_prompt(captions)
+        return model.generate_with_image_embedding(
+            prompt,
+            image_embeddings=None,
+            max_new_tokens=sampling.max_summary_tokens,
+            temperature=sampling.caption_temperature,
+        )
+
+    return summarize

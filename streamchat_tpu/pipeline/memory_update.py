@@ -1,0 +1,108 @@
+"""Per-segment memory update: short-term sampling + long-term tree growth.
+
+Rebuilds `updating_memory_buffer` (inference_streaming_longva_v2.py:267-378):
+  1. Short memory: the segment's last `short_window` frames, sampled down to
+     `remember_window` via the Ebbinghaus curve (:319-337). Note the
+     reference samples from the CURRENT segment's bank, not a persistent
+     FIFO — short memory resets every breakpoint; reproduced here.
+  2. Long memory: the segment's features chunked by `chunk_size`; each chunk
+     captioned by the LLM; chunks entered as depth-0 tree nodes with a
+     summarize-splice when due (memory/tree.py).
+
+Deviation (documented): the reference guards per-chunk k-means with
+`len(chunk) > chunk_size` (inference_streaming_longva_v2.py:347), which is
+never true for slices of size <= chunk_size — so v0.3 effectively stores RAW
+chunk features (up to [40, 576, 4096] per node) and only clusters at merge
+time. That is an evident off-by-intent bug (the inline comment says "the
+last one doesn't need clustering") and costs ~8x memory and prompt length.
+We implement the stated intent: full chunks are clustered to `num_clusters`
+centroids, the partial tail chunk is kept raw. Set
+`cluster_full_chunks=False` to reproduce the literal reference behavior.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from streamchat_tpu.config import MemoryConfig
+from streamchat_tpu.memory.tree import VisualMemoryTree
+from streamchat_tpu.ops.forgetting import select_short_memory
+from streamchat_tpu.ops.kmeans import weighted_kmeans_feature
+from streamchat_tpu.ops.pooling import compress_spatial_features
+
+# Caption a chunk of frame features [T, P, D] -> text.
+CaptionFn = Callable[[jnp.ndarray], str]
+
+
+def build_short_memory(
+    features: jnp.ndarray, cfg: MemoryConfig, key: jax.Array
+) -> jnp.ndarray:
+    """[N, P, D] segment features -> [R, P, D] short memory."""
+    n = features.shape[0]
+    if n == 0:
+        raise ValueError("empty segment: no short memory "
+                         "(reference asserts at :371)")
+    window = features[-cfg.short_window :] if n > cfg.short_window else features
+    r = min(cfg.remember_window, window.shape[0])
+    if window.shape[0] <= r:
+        return window
+    return select_short_memory(key, window, r, cfg.tau)
+
+
+def chunk_and_cluster(
+    features: jnp.ndarray,
+    cfg: MemoryConfig,
+    key: jax.Array,
+    cluster_full_chunks: bool = True,
+) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
+    """Split [N, P, D] into chunk_size chunks.
+
+    Returns (raw_chunks, node_features): captions are generated from the RAW
+    chunk (reference passes chunked_feature_list to the captioner,
+    utiles.py:539-556) while the tree node stores the clustered centroids
+    (see module docstring for the reference discrepancy)."""
+    n = features.shape[0]
+    raw: List[jnp.ndarray] = []
+    node: List[jnp.ndarray] = []
+    keys = jax.random.split(key, max(1, (n + cfg.chunk_size - 1) // cfg.chunk_size))
+    for j, i in enumerate(range(0, n, cfg.chunk_size)):
+        chunk = features[i : i + cfg.chunk_size]
+        raw.append(chunk)
+        if (
+            cluster_full_chunks
+            and chunk.shape[0] >= cfg.chunk_size
+            and chunk.shape[0] > cfg.num_clusters
+        ):
+            centroids, _ = weighted_kmeans_feature(chunk, cfg.num_clusters, keys[j])
+            node.append(centroids)
+        else:
+            node.append(chunk)
+    return raw, node
+
+
+def update_memory(
+    features: jnp.ndarray,
+    tree: Optional[VisualMemoryTree],
+    caption_fn: CaptionFn,
+    cfg: MemoryConfig,
+    key: jax.Array,
+    cluster_full_chunks: bool = True,
+) -> Tuple[VisualMemoryTree, jnp.ndarray]:
+    """One segment's memory update. Returns (tree, short_memory [R, P, D]).
+
+    `tree` must already be constructed (the runner owns embed/summarize/merge
+    wiring); passing the same tree across segments accumulates long memory
+    within a video, as the reference does (long_memory_tree spans segments,
+    reset per video at :835).
+    """
+    if cfg.compress_rate > 1:
+        features = compress_spatial_features(features, cfg.compress_rate)
+    k1, k2 = jax.random.split(key)
+    short = build_short_memory(features, cfg, k1)
+    raw_chunks, node_feats = chunk_and_cluster(features, cfg, k2, cluster_full_chunks)
+    captions = [caption_fn(c) for c in raw_chunks]
+    tree.add_chunks(node_feats, captions)
+    return tree, short

@@ -1,0 +1,331 @@
+"""Benchmark orchestrator: the `run_inference` loop and CLI.
+
+Rebuilds `inference_streaming_longva_v2.py:48-87 (flags), 680-934 (loop)`:
+iterate StreamBench annotations; per video, reset the visual memory tree and
+open a per-video dialogue memory store; per breakpoint segment: ingest ->
+memory update -> dialogue retrieval -> answer -> result sink append ->
+memory write-back + re-index.
+
+Differences by design (SURVEY.md §7):
+  * ONE model serves answering and captioning (the reference loads the same
+    checkpoint onto two 80 GB GPUs, :697-700).
+  * Annotation-level data-parallel sharding via --num_chunks/--chunk_idx is
+    built into the runner itself (the reference only shards the judge stage
+    through the driver shell).
+  * The results file is appended and rewritten per question exactly like the
+    reference (:637-675) so crash-resume semantics match (--start skips
+    already-processed annotations, :740-757).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+
+from streamchat_tpu.config import MemoryConfig, PipelineConfig, SamplingConfig, VideoConfig
+from streamchat_tpu.memory.bank import MemoryBank
+from streamchat_tpu.memory.tree import VisualMemoryTree
+from streamchat_tpu.ops.kmeans import weighted_kmeans_feature
+from streamchat_tpu.pipeline import prompts
+from streamchat_tpu.pipeline.answer import (
+    answer_question,
+    make_captioner,
+    make_summarizer,
+)
+from streamchat_tpu.pipeline.ingest import dedup_segment, encode_segment
+from streamchat_tpu.pipeline.memory_update import update_memory
+from streamchat_tpu.utils.logging import get_logger
+from streamchat_tpu.video.reader import open_video
+
+log = get_logger("runner")
+
+
+class StreamChatPipeline:
+    """Wires models + memory + prompts into the per-video streaming loop."""
+
+    def __init__(
+        self,
+        model,                    # LongVA facade (answerer AND captioner)
+        tree_embedder,            # TextEmbedder (colbert CLS) for tree search
+        bank_embedder,            # TextEmbedder (MiniLM mean) for dialogue
+        cfg: PipelineConfig,
+    ):
+        self.model = model
+        self.tree_embedder = tree_embedder
+        self.bank_embedder = bank_embedder
+        # The vision tower's input size is authoritative — a config mismatch
+        # would feed wrongly-shaped pixel batches into the patch embedding.
+        if cfg.video.image_size != model.vit_cfg.image_size:
+            import dataclasses as _dc
+
+            cfg = cfg.replace(
+                video=_dc.replace(cfg.video, image_size=model.vit_cfg.image_size)
+            )
+        self.cfg = cfg
+        self._caption = make_captioner(model, cfg.sampling)
+        self._summarize = make_summarizer(model, cfg.sampling)
+        self._key = jax.random.key(cfg.seed)
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def new_tree(self) -> VisualMemoryTree:
+        def merge(combined, k):
+            c, _ = weighted_kmeans_feature(combined, k, self._next_key())
+            return c
+
+        return VisualMemoryTree(
+            num_clusters=self.cfg.memory.num_clusters,
+            interval=self.cfg.memory.interval,
+            embed_fn=lambda texts: self.tree_embedder.embed(texts),
+            summarize_fn=self._summarize,
+            merge_fn=merge,
+        )
+
+    def embed_query(self, question: str):
+        return self.tree_embedder.embed([question])[0]
+
+    def process_video(
+        self,
+        reader,
+        breakpoints,              # [{question, answer, class, time}]
+        bank: MemoryBank,
+        user_name: str,
+        save_file: Optional[str] = None,
+    ):
+        """Stream one video through its breakpoints. Returns result dicts."""
+        tree = self.new_tree()
+        memory_index = bank.enter_name(user_name)
+        results = []
+        time_line = [int(q["time"]) for q in breakpoints]
+        frame_line = [0] + time_line
+
+        for q, start_s, end_s in zip(breakpoints, frame_line[:-1], frame_line[1:]):
+            features = encode_segment(
+                self.model, reader, start_s, end_s,
+                self.cfg.video, self.cfg.memory.chunk_size,
+            )
+            features = dedup_segment(features, self.cfg.video.dedup_threshold)
+
+            short_memory = None
+            if features.shape[0] > 0:
+                tree, short_memory = update_memory(
+                    features, tree, self._caption, self.cfg.memory,
+                    self._next_key(),
+                )
+            if short_memory is None:
+                log.warning("empty segment [%s, %s): skipping question", start_s, end_s)
+                continue
+
+            history_prompt = None
+            if memory_index is not None:
+                date_docs, _ = memory_index.search_memory(
+                    q["question"], self.cfg.retrieval.language
+                )
+                if date_docs:
+                    related = "\n" + "\n".join(date_docs).strip() + "\n"
+                    history_prompt = prompts.build_history_prompt(
+                        related, self.cfg.retrieval.language
+                    )
+
+            res = answer_question(
+                q["question"],
+                self.model,
+                self.embed_query,
+                short_memory,
+                tree,
+                history_prompt,
+                self.cfg.sampling,
+                self.cfg.conv_mode,
+            )
+            record = {
+                "time": end_s,
+                "question": q["question"],
+                "label": q.get("answer"),
+                "predict": res.output,
+                "class": q.get("class"),
+                "process_time": res.process_time,
+            }
+            results.append(record)
+            if save_file:
+                _append_result(save_file, record)
+
+            # Dialogue write-back + re-index (reference :913-924).
+            bank.save_local_memory(user_name, q["question"], res.output)
+            memory_index = bank.enter_name(user_name)
+        return results
+
+
+def _append_result(save_file: str, record: dict) -> None:
+    """Read-append-rewrite, matching the reference sink (:637, 674-675)."""
+    data = []
+    if os.path.exists(save_file):
+        with open(save_file, "r", encoding="utf-8") as f:
+            data = json.load(f)
+    data.append(record)
+    with open(save_file, "w", encoding="utf-8") as f:
+        json.dump(data, f, ensure_ascii=False, indent=4)
+
+
+def run_inference(pipeline: StreamChatPipeline, args) -> None:
+    """Annotation loop (reference :754-934)."""
+    with open(args.annotations, "r", encoding="utf-8") as f:
+        all_annotations = json.load(f)
+
+    os.makedirs(args.memory_basic_dir, exist_ok=True)
+    if not os.path.exists(args.save_file):
+        json.dump([], open(args.save_file, "w", encoding="utf-8"))
+
+    for count, anno in enumerate(all_annotations):
+        if count < args.start:
+            continue
+        if args.num_chunks > 1 and count % args.num_chunks != args.chunk_idx:
+            continue
+        memory_path = os.path.join(
+            args.memory_basic_dir, f"memory_{count}.json"
+        )
+        bank = MemoryBank(
+            memory_path,
+            lambda texts: pipeline.bank_embedder.embed(texts),
+            language=args.language,
+            top_k=args.memory_search_top_k,
+        )
+        video_name = anno["info"]["video_path"]
+        class_1 = anno["info"]["class_1"]
+        video_path = os.path.join(args.video_dir, class_1, video_name)
+        if not os.path.exists(video_path):
+            log.error("video missing: %s", video_path)
+            continue
+        reader = open_video(video_path)
+        t0 = time.time()
+        pipeline.process_video(
+            reader, anno["breakpoint"], bank, user_name="User",
+            save_file=args.save_file,
+        )
+        reader.close()
+        log.info(
+            "[%d/%d] %s: %d questions in %.1fs",
+            count + 1, len(all_annotations), video_name,
+            len(anno["breakpoint"]), time.time() - t0,
+        )
+
+
+def build_pipeline(cfg: PipelineConfig) -> StreamChatPipeline:
+    """Construct models from cfg.paths (random tiny models when unset)."""
+    from streamchat_tpu.config import BertConfig
+    from streamchat_tpu.models.embedder import TextEmbedder
+    from streamchat_tpu.models.longva import LongVA
+
+    key = jax.random.key(cfg.seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    if cfg.paths.longva:
+        model = LongVA.from_pretrained(cfg.paths.longva)
+    else:
+        # Random-weights mode is for plumbing tests/benches only: tiny
+        # geometry keeps it fast; outputs are gibberish by construction.
+        from streamchat_tpu.config import DecoderConfig, ViTConfig
+
+        log.warning("no LongVA checkpoint: using random tiny weights")
+        dec_cfg = DecoderConfig.tiny()
+        model = LongVA.init_random(
+            k1, ViTConfig.tiny(projection_dim=dec_cfg.hidden_size), dec_cfg
+        )
+    if cfg.paths.colbert:
+        tree_emb = TextEmbedder.from_pretrained(cfg.paths.colbert, "cls")
+    else:
+        tree_emb = TextEmbedder.init_random(k2, BertConfig.tiny())
+    if cfg.paths.minilm:
+        bank_emb = TextEmbedder.from_pretrained(cfg.paths.minilm, "mean")
+    else:
+        import dataclasses as _dc
+
+        bank_emb = TextEmbedder.init_random(
+            k3, _dc.replace(BertConfig.tiny(), pooling="mean")
+        )
+    return StreamChatPipeline(model, tree_emb, bank_emb, cfg)
+
+
+def parse_args(argv=None):
+    """Reference flag surface (inference_streaming_longva_v2.py:48-87)."""
+    p = argparse.ArgumentParser(description="StreamChat-TPU streaming video QA")
+    p.add_argument("--video_dir", required=True)
+    p.add_argument("--model_name", type=str, default=None,
+                   help="LongVA checkpoint path (random tiny weights if unset)")
+    p.add_argument("--conv-mode", dest="conv_mode", type=str, default="qwen_1_5")
+    p.add_argument("--mode", type=str, default="off_line")
+    p.add_argument("--chunk_size", type=int, default=20)
+    p.add_argument("--num_clusters", type=int, default=5)
+    p.add_argument("--interval", type=int, default=10)
+    p.add_argument("--short_window", type=int, default=20)
+    p.add_argument("--remember_window", type=int, default=5)
+    p.add_argument("--tau", type=float, default=5)
+    p.add_argument("--compress_rate", type=int, default=1)
+    p.add_argument("--num_chunks", type=int, default=1)
+    p.add_argument("--chunk_idx", type=int, default=0)
+    p.add_argument("--num_frames", type=int, default=4)
+    p.add_argument("--num_beams", type=int, default=1)
+    p.add_argument("--temperature", type=float, default=0.2)
+    p.add_argument("--sample_rate", type=float, default=0.5)
+    p.add_argument("--top_p", type=float, default=None)
+    p.add_argument("--memory_basic_dir", type=str, required=True)
+    p.add_argument("--save_file", type=str, required=True)
+    p.add_argument("--annotations", type=str, required=True)
+    p.add_argument("--language", type=str, default="en")
+    p.add_argument("--memory_search_top_k", type=int, default=1)
+    p.add_argument("--start", type=int, default=0)
+    p.add_argument("--embedding_model", type=str, default=None,
+                   help="mxbai-colbert checkpoint path")
+    p.add_argument("--minilm_model", type=str, default=None)
+    p.add_argument("--ppl", action="store_true")
+    p.add_argument("--multi_modal_memory", action="store_true")
+    return p.parse_args(argv)
+
+
+def config_from_args(args) -> PipelineConfig:
+    from streamchat_tpu.config import ModelPaths, RetrievalConfig
+
+    return PipelineConfig(
+        memory=MemoryConfig(
+            chunk_size=args.chunk_size,
+            num_clusters=args.num_clusters,
+            interval=args.interval,
+            short_window=args.short_window,
+            remember_window=args.remember_window,
+            tau=float(args.tau),
+            compress_rate=args.compress_rate,
+        ),
+        sampling=SamplingConfig(
+            temperature=args.temperature,
+            top_p=args.top_p,
+            num_beams=args.num_beams,
+        ),
+        video=VideoConfig(sample_rate=args.sample_rate),
+        retrieval=RetrievalConfig(
+            top_k=args.memory_search_top_k, language=args.language
+        ),
+        paths=ModelPaths(
+            longva=args.model_name,
+            colbert=args.embedding_model,
+            minilm=args.minilm_model,
+        ),
+        conv_mode=args.conv_mode,
+        mode=args.mode,
+        multi_modal_memory=args.multi_modal_memory,
+    )
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+    cfg = config_from_args(args)
+    pipeline = build_pipeline(cfg)
+    run_inference(pipeline, args)
+
+
+if __name__ == "__main__":
+    main()
