@@ -1,0 +1,107 @@
+"""Score aggregation over judged JSONL results.
+
+Rebuilds `calculate_score.py:165-210` (accuracy = yes/(yes+no), average
+0-5 score) and `calculate_avg_score.py:1-60` (per-class score/accuracy plus
+the adjacent-score fluctuation metric — mean |Δscore| between consecutive
+answers in file order).
+"""
+
+from __future__ import annotations
+
+import json
+from collections import defaultdict
+from typing import Dict, Iterable, List, Optional
+
+
+def read_jsonl(path: str) -> List[dict]:
+    out = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                out.append(json.loads(line))
+    return out
+
+
+def aggregate_scores(results: Iterable[dict]) -> Dict:
+    """Accuracy / average score (calculate_score.py main, :165-210).
+
+    Malformed rows are skipped like the reference's bare `except`."""
+    score_sum = 0
+    count = 0
+    yes = 0
+    no = 0
+    for r in results:
+        try:
+            score_sum += int(r["score"])
+            count += 1
+            pred = r["llama_pred"].lower()
+            if "yes" in pred:
+                yes += 1
+            elif "no" in pred:
+                no += 1
+        except (KeyError, TypeError, ValueError):
+            continue
+    return {
+        "Yes count": yes,
+        "No count": no,
+        "Accuracy": yes / (yes + no) if (yes + no) else 0.0,
+        "Average score": score_sum / count if count else 0.0,
+    }
+
+
+def per_class_breakdown(results: Iterable[dict]) -> Dict:
+    """Per-class score/acc + adjacent-score fluctuation
+    (calculate_avg_score.py:14-53)."""
+    class_scores = defaultdict(int)
+    class_acc = defaultdict(int)
+    class_counts = defaultdict(int)
+    diffs = []
+    prev: Optional[float] = None
+    process_times = []
+    for r in results:
+        c = r.get("class")
+        score = r["score"]
+        class_scores[c] += score
+        class_acc[c] += 1 if r["llama_pred"] == "yes" else 0
+        class_counts[c] += 1
+        if prev is not None:
+            diffs.append(abs(score - prev))
+        prev = score
+        if "process_time" in r:
+            process_times.append(r["process_time"])
+    out = {
+        "classes": {
+            c: {
+                "avg_score": class_scores[c] / class_counts[c],
+                "avg_acc": class_acc[c] / class_counts[c],
+                "count": class_counts[c],
+            }
+            for c in class_counts
+        },
+        "fluctuation": sum(diffs) / len(diffs) if diffs else 0.0,
+    }
+    if process_times:
+        out["avg_process_time"] = sum(process_times) / len(process_times)
+    return out
+
+
+def main(argv=None) -> None:
+    import argparse
+
+    p = argparse.ArgumentParser(description="Aggregate judged StreamBench scores")
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--output_name", required=True)
+    args = p.parse_args(argv)
+
+    path = f"{args.output_dir}/{args.output_name}.jsonl"
+    results = read_jsonl(path)
+    stats = aggregate_scores(results)
+    breakdown = per_class_breakdown(results)
+    print(json.dumps({**stats, **breakdown}, indent=2))
+    with open(f"{args.output_dir}/{args.output_name}_res.json", "w") as f:
+        json.dump([{k: v} for k, v in stats.items()], f, indent=4)
+
+
+if __name__ == "__main__":
+    main()

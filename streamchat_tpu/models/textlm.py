@@ -1,0 +1,73 @@
+"""Text-only causal LM facade (LLaMA-3 judge / memory summarizer).
+
+The reference loads a second HF stack (LlamaForCausalLM, device_map=auto)
+just to run the judge (eval_video_qa_with_llama3_ours.py:88-90). Here the
+same functional decoder that powers LongVA's Qwen2 backbone runs LLaMA-3
+weights — one decode path for the whole framework.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from streamchat_tpu.config import DecoderConfig
+from streamchat_tpu.models import decoder, generate as genlib
+from streamchat_tpu.models.decoder import KVCache
+from streamchat_tpu.models.tokenizer import ByteTokenizer, load_tokenizer
+from streamchat_tpu.utils.prng import KeySeq
+
+
+@dataclasses.dataclass
+class TextLM:
+    params: dict
+    cfg: DecoderConfig
+    tokenizer: object
+    keys: KeySeq
+
+    @classmethod
+    def init_random(cls, key: jax.Array, cfg: DecoderConfig | None = None,
+                    tokenizer=None, dtype=jnp.bfloat16) -> "TextLM":
+        cfg = cfg or DecoderConfig.llama3_8b()
+        k1, k2 = jax.random.split(key)
+        return cls(decoder.init(k1, cfg, dtype), cfg,
+                   tokenizer or ByteTokenizer(), KeySeq(k2))
+
+    @classmethod
+    def from_pretrained(cls, path: str, dtype=jnp.bfloat16) -> "TextLM":
+        from streamchat_tpu.models import weights
+
+        cfg, params = weights.load_decoder(path, dtype)
+        return cls(params, cfg, load_tokenizer(path), KeySeq(0))
+
+    def generate(
+        self,
+        prompt: str,
+        *,
+        max_new_tokens: int = 128,
+        temperature: float = 0.0,
+        top_p: float | None = None,
+    ) -> str:
+        ids = self.tokenizer.encode(prompt)
+        dtype = self.params["embed"].dtype
+        embeds = decoder.embed_tokens(
+            self.params, jnp.asarray(ids, jnp.int32)
+        )[None].astype(dtype)
+        length = embeds.shape[1]
+        padded = genlib.pad_to_bucket(length)
+        if padded > length:
+            embeds = jnp.pad(embeds, ((0, 0), (0, padded - length), (0, 0)))
+        cache = KVCache.create(
+            self.cfg, 1, padded + max_new_tokens, dtype=dtype
+        )
+        toks, count = genlib.generate(
+            self.params, self.cfg, embeds,
+            jnp.array([length], jnp.int32), cache, self.keys(),
+            max_new_tokens=max_new_tokens,
+            temperature=temperature, top_p=top_p,
+            eos_ids=tuple(self.tokenizer.eos_ids),
+        )
+        n = int(count[0])
+        return self.tokenizer.decode([int(t) for t in toks[0][:n]]).strip()

@@ -1,0 +1,143 @@
+"""Judge + scoring harness tests (reference eval_video_qa_with_llama3_ours.py
+/ calculate_score.py / calculate_avg_score.py semantics)."""
+
+import json
+
+import jax
+import pytest
+
+from streamchat_tpu.eval.judge import (
+    build_judge_prompt,
+    get_chunk,
+    judge_predictions,
+    parse_judge_output,
+)
+from streamchat_tpu.eval.scoring import (
+    aggregate_scores,
+    per_class_breakdown,
+    read_jsonl,
+)
+
+
+class TestJudgePrompt:
+    def test_prompt_structure(self):
+        p = build_judge_prompt("Q?", "truth", "guess")
+        assert p.startswith("<|begin_of_text|> <|start_header_id|> system")
+        assert "Question: Q?" in p
+        assert "Correct Answer: truth" in p
+        assert "Predicted Answer: guess" in p
+        # The example dict braces survive the .format call.
+        assert "{'llama_pred': 'yes', 'score': 4.8}" in p
+        assert p.rstrip().endswith("<|eot_id|>")
+
+    def test_parse_valid(self):
+        out = parse_judge_output("{'llama_pred': 'yes', 'score': 4}")
+        assert out == {"llama_pred": "yes", "score": 4}
+
+    def test_parse_takes_last_match(self):
+        text = "noise {'a': 1} more {'llama_pred': 'no', 'score': 1} end"
+        assert parse_judge_output(text)["llama_pred"] == "no"
+
+    def test_parse_garbage_returns_none(self):
+        assert parse_judge_output("I think the answer is fine.") is None
+        assert parse_judge_output("{broken") is None
+
+
+class TestChunking:
+    def test_ceil_split(self):
+        lst = list(range(10))
+        assert get_chunk(lst, 3, 0) == [0, 1, 2, 3]
+        assert get_chunk(lst, 3, 1) == [4, 5, 6, 7]
+        assert get_chunk(lst, 3, 2) == [8, 9]
+
+    def test_shards_cover_all(self):
+        lst = list(range(17))
+        got = []
+        for i in range(4):
+            got += get_chunk(lst, 4, i)
+        assert got == lst
+
+
+PREDICTIONS = [
+    {"question": "Q1", "label": "A1", "predict": "A1 exactly", "class": "OCP",
+     "process_time": 0.5},
+    {"question": "Q2", "label": "A2", "predict": "wrong", "class": "CT",
+     "process_time": 1.5},
+]
+
+
+class TestJudgeLoop:
+    def test_judge_with_mock_llm(self, tmp_path):
+        def fake_llm(prompt):
+            if "A1 exactly" in prompt:
+                return "{'llama_pred': 'yes', 'score': 5}"
+            return "{'llama_pred': 'no', 'score': 1}"
+
+        out_path = str(tmp_path / "judged.jsonl")
+        results = judge_predictions(PREDICTIONS, fake_llm, output_path=out_path)
+        assert results[0]["llama_pred"] == "yes" and results[0]["score"] == 5
+        assert results[1]["llama_pred"] == "no"
+        # Original fields preserved (reference pred.update(result_dict)).
+        assert results[0]["question"] == "Q1"
+        assert read_jsonl(out_path) == results
+
+    def test_unparseable_defaults_to_no(self):
+        results = judge_predictions(PREDICTIONS[:1], lambda p: "garbage")
+        assert results[0]["llama_pred"] == "no" and results[0]["score"] == 0
+
+
+class TestScoring:
+    def test_aggregate(self):
+        judged = [
+            {"llama_pred": "yes", "score": 5},
+            {"llama_pred": "no", "score": 1},
+            {"llama_pred": "yes", "score": 4},
+        ]
+        stats = aggregate_scores(judged)
+        assert stats["Yes count"] == 2
+        assert stats["No count"] == 1
+        assert stats["Accuracy"] == pytest.approx(2 / 3)
+        assert stats["Average score"] == pytest.approx(10 / 3)
+
+    def test_malformed_rows_skipped(self):
+        stats = aggregate_scores([{"bad": 1}, {"llama_pred": "yes", "score": 3}])
+        assert stats["Yes count"] == 1
+
+    def test_per_class_and_fluctuation(self):
+        judged = [
+            {"llama_pred": "yes", "score": 5, "class": "OCP", "process_time": 1.0},
+            {"llama_pred": "no", "score": 1, "class": "OCP", "process_time": 2.0},
+            {"llama_pred": "yes", "score": 3, "class": "CT", "process_time": 3.0},
+        ]
+        b = per_class_breakdown(judged)
+        assert b["classes"]["OCP"]["avg_score"] == 3.0
+        assert b["classes"]["OCP"]["avg_acc"] == 0.5
+        assert b["classes"]["CT"]["count"] == 1
+        # |1-5| = 4, |3-1| = 2 -> mean 3.
+        assert b["fluctuation"] == pytest.approx(3.0)
+        assert b["avg_process_time"] == pytest.approx(2.0)
+
+
+class TestTextLM:
+    def test_tiny_generate_smoke(self, key):
+        from streamchat_tpu.config import DecoderConfig
+        from streamchat_tpu.models.textlm import TextLM
+
+        lm = TextLM.init_random(key, DecoderConfig.tiny())
+        out = lm.generate("hello judge", max_new_tokens=4)
+        assert isinstance(out, str)
+
+    def test_judge_cli_with_tiny_lm(self, tmp_path):
+        """Full judge main() with random tiny weights: runs, writes JSONL."""
+        from streamchat_tpu.eval import judge as judge_mod
+
+        pred_path = tmp_path / "preds.json"
+        pred_path.write_text(json.dumps(PREDICTIONS[:1]))
+        judge_mod.main([
+            "--predict_file", str(pred_path),
+            "--output_dir", str(tmp_path),
+            "--output_name", "judged",
+        ])
+        rows = read_jsonl(str(tmp_path / "judged.jsonl"))
+        assert len(rows) == 1
+        assert "llama_pred" in rows[0] and "score" in rows[0]
