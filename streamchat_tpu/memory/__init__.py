@@ -7,11 +7,12 @@ metadata on host, all similarity scoring is batched matmuls against cached
 embedding matrices instead of the reference's per-node model forwards.
 """
 
-from streamchat_tpu.memory.bank import MemoryBank, MemoryIndex
+from streamchat_tpu.memory.bank import ForgetfulMemoryBank, MemoryBank, MemoryIndex
 from streamchat_tpu.memory.short_term import ShortTermMemory
 from streamchat_tpu.memory.tree import MemoryTreeNode, VisualMemoryTree
 
 __all__ = [
+    "ForgetfulMemoryBank",
     "MemoryBank",
     "MemoryIndex",
     "MemoryTreeNode",

@@ -193,6 +193,37 @@ class VisualMemoryTree:
 
         return path_features, path_text
 
+    def search_features(self, query_feats: jnp.ndarray) -> List[jnp.ndarray]:
+        """Feature-space greedy descent (uni-modal variant).
+
+        Port of `search_tree` (utiles.py:909-935), used by
+        `longva_inference_with_embedding` (:123-125) with
+        query = [question embeddings | short memory] rows [T, D]. Scores a
+        child by the total inner-product mass between the query rows and the
+        child's flattened centroids; emits the PARENT's centroids at each
+        level plus the final leaf (reference appends current_node.centroids
+        before descending). The reference's comparator is self-contradicting
+        (its else-branch overwrites the argmin, utiles.py:921-927); we take
+        the docstring's stated intent — highest similarity wins.
+        """
+        q = query_feats.reshape(-1, query_feats.shape[-1]).astype(jnp.float32)
+        path: List[jnp.ndarray] = []
+        for root in self.roots:
+            if root.depth == 0 or not root.children:
+                continue
+            node = root
+            while node.children:
+                scores = [
+                    float(jnp.sum(
+                        q @ c.centroids.reshape(-1, q.shape[-1]).astype(jnp.float32).T
+                    ))
+                    for c in node.children
+                ]
+                path.append(node.centroids)
+                node = node.children[int(jnp.argmax(jnp.asarray(scores)))]
+            path.append(node.centroids)
+        return path
+
     # ------------------------------------------------------------------
     # Introspection / persistence
     # ------------------------------------------------------------------

@@ -101,6 +101,12 @@ class LongVA:
         feats = vit.encode(self.vit_params, pixels, self.vit_cfg)
         return projector.apply(self.proj_params, feats)
 
+    def embed_text(self, text: str) -> jnp.ndarray:
+        """Token embeddings [T, D] (reference model.get_model().embed_tokens
+        over tokenizer output, inference_streaming_longva_v2.py:122-123)."""
+        ids = self.tokenizer.encode(text)
+        return decoder.embed_tokens(self.dec_params, jnp.asarray(ids, jnp.int32))
+
     # ------------------------------------------------------------------
     # Embedding splice
     # ------------------------------------------------------------------
@@ -192,3 +198,23 @@ class LongVA:
         )
         n = int(count[0])
         return self.tokenizer.decode([int(t) for t in toks[0][:n]]).strip()
+
+    def score_with_image_embedding(
+        self,
+        prompt: str,
+        target: str,
+        image_embeddings: Optional[Sequence[jnp.ndarray]] = None,
+    ) -> Tuple[float, float]:
+        """Teacher-forced (mean NLL, PPL) of `target` given the spliced
+        prompt — the `--ppl` metric path (reference
+        `forward_with_fix_embedding`, llavanext/model/language_model/
+        llava_llama.py:99; probed by utiles.py:1375-1561)."""
+        from streamchat_tpu.models.scoring import sequence_nll
+
+        target_ids = self.tokenizer.encode(target)
+        embeds, length = self.splice_prompt(prompt, image_embeddings)
+        nll = sequence_nll(
+            self.dec_params, self.dec_cfg, embeds, length,
+            jnp.asarray(target_ids, jnp.int32),
+        )
+        return float(nll), float(jnp.exp(nll))

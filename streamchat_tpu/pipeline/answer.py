@@ -66,6 +66,47 @@ def answer_question(
     return AnswerResult(output, t1 - t0, t2 - t1)
 
 
+def answer_question_unimodal(
+    question: str,
+    model,
+    short_memory: jnp.ndarray,
+    tree: Optional[VisualMemoryTree],
+    history_prompt: Optional[str],
+    sampling: SamplingConfig,
+    conv_mode: str = "qwen_1_5",
+) -> AnswerResult:
+    """Uni-modal variant (`longva_inference_with_embedding`, reference
+    :89-162): no caption text in the prompt, feature-space tree search with
+    query = [question embeddings | short memory], 512-token budget."""
+    t0 = time.time()
+    short_flat = short_memory.reshape(-1, short_memory.shape[-1])
+    q_emb = model.embed_text(question)
+
+    image_embeddings = short_flat
+    if tree is not None and len(tree) > 0:
+        feats = tree.search_features(
+            jnp.concatenate([q_emb.astype(short_flat.dtype), short_flat], axis=0)
+        )
+        if feats:
+            long_flat = jnp.concatenate(
+                [f.reshape(-1, f.shape[-1]) for f in feats], axis=0
+            )
+            image_embeddings = jnp.concatenate([short_flat, long_flat], axis=0)
+
+    qs = prompts.build_answer_prompt_unimodal(question, history_prompt)
+    prompt = prompts.wrap_user_turn(conv_mode, qs)
+    t1 = time.time()
+    output = model.generate_with_image_embedding(
+        prompt,
+        image_embeddings=[image_embeddings],
+        max_new_tokens=sampling.max_answer_tokens_unimodal,
+        temperature=sampling.temperature,
+        top_p=sampling.top_p,
+    )
+    t2 = time.time()
+    return AnswerResult(output, t1 - t0, t2 - t1)
+
+
 def make_captioner(model, sampling: SamplingConfig):
     """Chunk features [T, P, D] -> caption text (updating_memory_buffer's
     captioning generate, utiles.py:539-556; conv qwen_1_5_ego, 128 tokens,
