@@ -91,6 +91,38 @@ class LongVA:
             keys=KeySeq(0),
         )
 
+    def shard(self, mesh=None) -> "LongVA":
+        """Shard parameters over a (data, model) mesh in place.
+
+        One tensor-parallel copy serves both the answerer and captioner —
+        the TPU answer to the reference's two 80 GB replicas
+        (inference_streaming_longva_v2.py:697-700). With mesh=None, builds
+        the best mesh over all visible devices; a single-device mesh is a
+        no-op placement.
+        """
+        from streamchat_tpu.parallel import (
+            decoder_pspecs,
+            make_mesh,
+            projector_pspecs,
+            shard_pytree,
+            vit_pspecs,
+        )
+        from streamchat_tpu.parallel.mesh import best_mesh_shape
+
+        if mesh is None:
+            import jax as _jax
+
+            n = len(_jax.devices())
+            mesh = make_mesh(*best_mesh_shape(n, kv_heads=self.dec_cfg.num_kv_heads))
+        self.vit_params = shard_pytree(
+            self.vit_params, vit_pspecs(self.vit_cfg.num_layers), mesh
+        )
+        self.proj_params = shard_pytree(self.proj_params, projector_pspecs(), mesh)
+        self.dec_params = shard_pytree(
+            self.dec_params, decoder_pspecs(self.dec_cfg), mesh
+        )
+        return self
+
     # ------------------------------------------------------------------
     # Vision path
     # ------------------------------------------------------------------

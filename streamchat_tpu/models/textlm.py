@@ -42,6 +42,17 @@ class TextLM:
         cfg, params = weights.load_decoder(path, dtype)
         return cls(params, cfg, load_tokenizer(path), KeySeq(0))
 
+    def shard(self, mesh=None) -> "TextLM":
+        """Tensor-parallel placement over a mesh (see LongVA.shard)."""
+        from streamchat_tpu.parallel import decoder_pspecs, make_mesh, shard_pytree
+        from streamchat_tpu.parallel.mesh import best_mesh_shape
+
+        if mesh is None:
+            n = len(jax.devices())
+            mesh = make_mesh(*best_mesh_shape(n, kv_heads=self.cfg.num_kv_heads))
+        self.params = shard_pytree(self.params, decoder_pspecs(self.cfg), mesh)
+        return self
+
     def generate(
         self,
         prompt: str,

@@ -284,6 +284,8 @@ def parse_args(argv=None):
     p.add_argument("--minilm_model", type=str, default=None)
     p.add_argument("--ppl", action="store_true")
     p.add_argument("--multi_modal_memory", action="store_true")
+    p.add_argument("--shard", action="store_true",
+                   help="tensor-parallel the model over all visible devices")
     return p.parse_args(argv)
 
 
@@ -324,6 +326,8 @@ def main(argv=None) -> None:
     args = parse_args(argv)
     cfg = config_from_args(args)
     pipeline = build_pipeline(cfg)
+    if args.shard:
+        pipeline.model.shard()
     run_inference(pipeline, args)
 
 

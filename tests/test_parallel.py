@@ -63,3 +63,27 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as graft
 
     graft.dryrun_multichip(len(jax.devices()))
+
+
+def test_longva_shard_generate(key):
+    """Sharded LongVA produces identical greedy output to unsharded."""
+    import jax.numpy as jnp
+
+    from streamchat_tpu.config import ViTConfig
+    from streamchat_tpu.models.longva import LongVA
+
+    dec_cfg = DecoderConfig.tiny()
+    model = LongVA.init_random(
+        key, ViTConfig.tiny(projection_dim=dec_cfg.hidden_size), dec_cfg,
+        dtype=jnp.float32,
+    )
+    feats = jax.random.normal(jax.random.key(1), (4, dec_cfg.hidden_size))
+    prompt = "<image>\nwhat?"
+    ref = model.generate_with_image_embedding(
+        prompt, [feats], max_new_tokens=4, temperature=0.0
+    )
+    model.shard()
+    out = model.generate_with_image_embedding(
+        prompt, [feats], max_new_tokens=4, temperature=0.0
+    )
+    assert out == ref
