@@ -52,6 +52,11 @@ def _attention(x: jnp.ndarray, p: Params, num_heads: int) -> jnp.ndarray:
     q = (x @ p["q"]["w"] + p["q"]["b"]).reshape(n, s, num_heads, dh)
     k = (x @ p["k"]["w"] + p["k"]["b"]).reshape(n, s, num_heads, dh)
     v = (x @ p["v"]["w"] + p["v"]["b"]).reshape(n, s, num_heads, dh)
+    # Plain batched attention: measured FASTER than the Pallas flash kernel
+    # here (227 vs 212 f/s at N=128 on v5e) — at S=577 XLA's fusion handles
+    # the score tensor fine and the encoder is MXU-bound on the projections,
+    # so flash tiling only adds per-tile overhead. Flash remains the decoder
+    # prefill path where S reaches thousands.
     s_qk = jnp.einsum("nqhd,nkhd->nhqk", q, k, preferred_element_type=jnp.float32)
     s_qk *= dh ** -0.5
     a = jax.nn.softmax(s_qk, axis=-1).astype(x.dtype)

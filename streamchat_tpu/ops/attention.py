@@ -162,6 +162,22 @@ def flash_attention(
     if kv_length is None:
         kv_length = jnp.full((b,), sk, dtype=jnp.int32)
 
+    # Auto-pad ragged sequence lengths (e.g. the ViT's 577 tokens) to the
+    # 128-lane tile; padded KV is masked via kv_length, padded Q rows are
+    # sliced off below.
+    sq_pad = -sq % 128
+    sk_pad = -sk % 128
+    if sq_pad or sk_pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_pad), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, sk_pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, sk_pad), (0, 0)))
+        kv_length = jnp.minimum(kv_length, sk)
+        out = flash_attention(
+            q, k, v, kv_length, causal=causal, sm_scale=sm_scale,
+            block_q=block_q, block_k=block_k, interpret=interpret,
+        )
+        return out[:, :, :sq]
+
     # Prompts are padded to 128-multiples (models/generate.pad_to_bucket);
     # fall back from the requested block to 128 when the length is not a
     # multiple of the larger tile (e.g. 640-token prompts).

@@ -57,3 +57,18 @@ def test_decode_matches_full_attention(key):
     np.testing.assert_allclose(
         np.asarray(out[:, :, 0]), np.asarray(ref[:, :, 39]), atol=2e-5
     )
+
+
+def test_flash_autopad_ragged_lengths(key):
+    """577-token (ViT-like) sequences pad to the 128 tile and mask correctly."""
+    from streamchat_tpu.ops.attention import _attention_reference, flash_attention
+
+    b, h, s, d = 2, 2, 577, 64
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, h, s, d))
+    k = jax.random.normal(kk, (b, h, s, d))
+    v = jax.random.normal(kv, (b, h, s, d))
+    out = flash_attention(q, k, v, causal=False, interpret=True)
+    ref = _attention_reference(q, k, v, causal=False, sm_scale=d**-0.5)
+    assert out.shape == (b, h, s, d)
+    assert jnp.max(jnp.abs(out - ref)) < 2e-3
