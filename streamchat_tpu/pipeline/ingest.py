@@ -20,6 +20,20 @@ from streamchat_tpu.pipeline.preprocess import preprocess_frames
 from streamchat_tpu.video.reader import sample_frame_indices
 
 
+def segment_indices(reader, start_s, end_s, cfg: VideoConfig, chunk_size: int):
+    """Frame indices for a [start_s, end_s) segment (for prefetch scheduling)."""
+    return sample_frame_indices(
+        start_s,
+        end_s,
+        reader.frame_rate,
+        reader.total_frames,
+        cfg.sample_rate,
+        chunk_size,
+        cfg.frame_cap,
+        cfg.frame_cap_trigger,
+    )
+
+
 def encode_segment(
     model,
     reader,
@@ -35,16 +49,7 @@ def encode_segment(
     (LongVA.encode_images). Batched in `max_batch` slices to bound HBM for
     long segments; XLA reuses one compiled program per slice shape.
     """
-    indices = sample_frame_indices(
-        start_s,
-        end_s,
-        reader.frame_rate,
-        reader.total_frames,
-        cfg.sample_rate,
-        chunk_size,
-        cfg.frame_cap,
-        cfg.frame_cap_trigger,
-    )
+    indices = segment_indices(reader, start_s, end_s, cfg, chunk_size)
     if not indices:
         return jnp.zeros((0, 1, 1), jnp.bfloat16)
     frames = reader.read_frames(indices)                   # [N, H, W, 3] u8

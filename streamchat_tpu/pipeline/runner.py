@@ -100,25 +100,45 @@ class StreamChatPipeline:
         save_file: Optional[str] = None,
     ):
         """Stream one video through its breakpoints. Returns result dicts."""
+        from streamchat_tpu.pipeline.ingest import segment_indices
+        from streamchat_tpu.utils.profiling import PhaseTimer
+        from streamchat_tpu.video.reader import PrefetchReader
+
         tree = self.new_tree()
         memory_index = bank.enter_name(user_name)
         results = []
+        timer = PhaseTimer()
         time_line = [int(q["time"]) for q in breakpoints]
         frame_line = [0] + time_line
+        segments = list(zip(breakpoints, frame_line[:-1], frame_line[1:]))
 
-        for q, start_s, end_s in zip(breakpoints, frame_line[:-1], frame_line[1:]):
-            features = encode_segment(
-                self.model, reader, start_s, end_s,
-                self.cfg.video, self.cfg.memory.chunk_size,
-            )
+        # Decode-ahead: segment i+1 reads on a host thread while segment i
+        # runs memory update + answering on the device. Shut the worker down
+        # at the end (one thread per video would otherwise accumulate), but
+        # leave closing the underlying reader to the caller.
+        prefetch = PrefetchReader(reader)
+        reader = prefetch
+
+        for i, (q, start_s, end_s) in enumerate(segments):
+            with timer.phase("ingest"):
+                features = encode_segment(
+                    self.model, reader, start_s, end_s,
+                    self.cfg.video, self.cfg.memory.chunk_size,
+                )
+            if i + 1 < len(segments):
+                _, ns, ne = segments[i + 1]
+                reader.schedule(segment_indices(
+                    reader, ns, ne, self.cfg.video, self.cfg.memory.chunk_size
+                ))
             features = dedup_segment(features, self.cfg.video.dedup_threshold)
 
             short_memory = None
             if features.shape[0] > 0:
-                tree, short_memory = update_memory(
-                    features, tree, self._caption, self.cfg.memory,
-                    self._next_key(),
-                )
+                with timer.phase("memory_update"):
+                    tree, short_memory = update_memory(
+                        features, tree, self._caption, self.cfg.memory,
+                        self._next_key(),
+                    )
             if short_memory is None:
                 log.warning("empty segment [%s, %s): skipping question", start_s, end_s)
                 continue
@@ -134,16 +154,17 @@ class StreamChatPipeline:
                         related, self.cfg.retrieval.language
                     )
 
-            res = answer_question(
-                q["question"],
-                self.model,
-                self.embed_query,
-                short_memory,
-                tree,
-                history_prompt,
-                self.cfg.sampling,
-                self.cfg.conv_mode,
-            )
+            with timer.phase("answer"):
+                res = answer_question(
+                    q["question"],
+                    self.model,
+                    self.embed_query,
+                    short_memory,
+                    tree,
+                    history_prompt,
+                    self.cfg.sampling,
+                    self.cfg.conv_mode,
+                )
             record = {
                 "time": end_s,
                 "question": q["question"],
@@ -159,6 +180,10 @@ class StreamChatPipeline:
             # Dialogue write-back + re-index (reference :913-924).
             bank.save_local_memory(user_name, q["question"], res.output)
             memory_index = bank.enter_name(user_name)
+        prefetch.stop()
+        log.info("phase totals (s): %s", {
+            k: round(v, 2) for k, v in timer.summary().items()
+        })
         return results
 
 

@@ -118,6 +118,45 @@ class SyntheticVideoReader:
         pass
 
 
+class PrefetchReader:
+    """Decode-ahead wrapper: reads segment N+1 on a host thread while the
+    device computes segment N (the double-buffering called for in
+    SURVEY.md §7.8; cv2 releases the GIL during decode).
+
+    Usage: schedule(indices) before heavy device work, then read_frames with
+    the SAME indices returns the prefetched batch.
+    """
+
+    def __init__(self, reader):
+        import concurrent.futures
+
+        self._reader = reader
+        self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        self._pending: Optional[tuple] = None
+        self.total_frames = reader.total_frames
+        self.frame_rate = reader.frame_rate
+
+    def schedule(self, indices: Sequence[int]) -> None:
+        indices = tuple(indices)
+        self._pending = (indices, self._pool.submit(self._reader.read_frames, indices))
+
+    def read_frames(self, indices: Sequence[int]) -> np.ndarray:
+        indices = tuple(indices)
+        if self._pending is not None and self._pending[0] == indices:
+            fut = self._pending[1]
+            self._pending = None
+            return fut.result()
+        return self._reader.read_frames(indices)
+
+    def stop(self) -> None:
+        """Shut down the worker thread, leaving the wrapped reader open."""
+        self._pool.shutdown(wait=False)
+
+    def close(self) -> None:
+        self.stop()
+        self._reader.close()
+
+
 def open_video(path: Optional[str], **synthetic_kwargs):
     """Path -> VideoReader; None -> SyntheticVideoReader (tests)."""
     if path is None:

@@ -130,3 +130,37 @@ def test_runner_cli_smoke(tiny_pipeline, tmp_path, monkeypatch):
     assert len(out) == 1
     assert out[0]["question"] == BREAKPOINTS[0]["question"]
     assert (tmp_path / "memories" / "memory_0.json").exists()
+
+
+def test_prefetch_reader_roundtrip():
+    """Prefetched indices return identical frames to direct reads."""
+    import numpy as np
+
+    from streamchat_tpu.video.reader import PrefetchReader
+
+    base = SyntheticVideoReader(total_frames=60, height=8, width=8)
+    pre = PrefetchReader(base)
+    idx = [0, 5, 10]
+    direct = base.read_frames(idx)
+    pre.schedule(idx)
+    fetched = pre.read_frames(idx)
+    assert np.array_equal(direct, fetched)
+    # Unscheduled indices fall through to the wrapped reader.
+    other = pre.read_frames([1, 2])
+    assert np.array_equal(other, base.read_frames([1, 2]))
+    pre.stop()
+
+
+def test_phase_timer():
+    import time as _time
+
+    from streamchat_tpu.utils.profiling import PhaseTimer
+
+    t = PhaseTimer()
+    with t.phase("a"):
+        _time.sleep(0.01)
+    with t.phase("a"):
+        pass
+    assert t.counts["a"] == 2
+    assert t.totals["a"] >= 0.01
+    assert t.mean("a") > 0

@@ -1,0 +1,86 @@
+"""Tests for curation tools and the memory-free baseline runner."""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from streamchat_tpu.tools.streambench import (
+    annotation_stats,
+    check_videos,
+    resample_by_category,
+)
+
+ANNOS = [
+    {"info": {"video_path": f"v{i}.mp4", "class_1": cat},
+     "breakpoint": [
+         {"question": "q", "answer": "a", "class": "OCP", "time": 5},
+         {"question": "q2", "answer": "a2", "class": "CT", "time": 9},
+     ]}
+    for i, cat in enumerate(["Ego", "Ego", "Ego", "Movie", "Movie", "Web"])
+]
+
+
+class TestTools:
+    def test_stats(self):
+        s = annotation_stats(ANNOS)
+        assert s["num_videos"] == 6
+        assert s["num_questions"] == 12
+        assert s["question_classes"] == {"OCP": 6, "CT": 6}
+        assert s["categories"] == {"Ego": 3, "Movie": 2, "Web": 1}
+        assert s["video_seconds"]["max"] == 9
+
+    def test_resample_balanced_and_deterministic(self):
+        a = resample_by_category(ANNOS, per_category=2, seed=1)
+        b = resample_by_category(ANNOS, per_category=2, seed=1)
+        assert [x["info"]["video_path"] for x in a] == [
+            x["info"]["video_path"] for x in b
+        ]
+        cats = [x["info"]["class_1"] for x in a]
+        assert cats.count("Ego") == 2 and cats.count("Movie") == 2 and cats.count("Web") == 1
+
+    def test_check_videos_missing(self, tmp_path):
+        bad = check_videos(ANNOS[:2], str(tmp_path))
+        assert len(bad) == 2
+
+    def test_cli_stats_and_resample(self, tmp_path, capsys):
+        from streamchat_tpu.tools import streambench
+
+        ann = tmp_path / "a.json"
+        ann.write_text(json.dumps(ANNOS))
+        streambench.main(["stats", "--annotations", str(ann)])
+        out = json.loads(capsys.readouterr().out)
+        assert out["num_videos"] == 6
+
+        dst = tmp_path / "sampled.json"
+        streambench.main([
+            "resample", "--annotations", str(ann),
+            "--per_category", "1", "--output", str(dst),
+        ])
+        assert len(json.loads(dst.read_text())) == 3
+
+
+class TestBaseline:
+    def test_uniform_indices(self):
+        from streamchat_tpu.pipeline.baseline import uniform_indices
+
+        idx = uniform_indices(100, 5, end_frame=50)
+        assert idx[0] == 0 and idx[-1] == 49 and len(idx) == 5
+
+    def test_baseline_answer_smoke(self):
+        from streamchat_tpu.config import DecoderConfig, ViTConfig
+        from streamchat_tpu.models.longva import LongVA
+        from streamchat_tpu.pipeline.baseline import answer_baseline
+        from streamchat_tpu.video.reader import SyntheticVideoReader
+
+        dec = DecoderConfig.tiny()
+        model = LongVA.init_random(
+            jax.random.key(0), ViTConfig.tiny(projection_dim=dec.hidden_size), dec
+        )
+        reader = SyntheticVideoReader(total_frames=60, height=56, width=56)
+        out = answer_baseline(
+            model, reader, "what happens?", end_s=1.0, num_frame=4,
+            temperature=0.0, max_new_tokens=4,
+        )
+        assert isinstance(out, str)
