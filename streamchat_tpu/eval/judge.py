@@ -95,25 +95,37 @@ def get_chunk(lst: List, num_chunks: int, chunk_idx: int) -> List:
     return chunks[chunk_idx] if chunk_idx < len(chunks) else []
 
 
+# Input key mapping per source format: "ours" is the pipeline's result file
+# (eval_video_qa_with_llama3_ours.py:109-111); "generic" is the baseline
+# runners' output (eval_video_qa_with_llama3.py:107-109, also the ego
+# variant).
+FORMATS = {
+    "ours": ("question", "label", "predict"),
+    "generic": ("question", "answer", "pred"),
+}
+
+
 def judge_predictions(
     predictions: List[dict],
     generate: GenerateFn,
     output_path: Optional[str] = None,
     num_chunks: int = 1,
     chunk_idx: int = 0,
+    fmt: str = "ours",
 ) -> List[dict]:
-    """Judge each prediction dict (question/label/predict), appending
-    llama_pred + score; writes JSONL when output_path is given (:99, 165)."""
+    """Judge each prediction dict, appending llama_pred + score; writes
+    JSONL when output_path is given (:99, 165)."""
+    q_key, a_key, p_key = FORMATS[fmt]
     shard = get_chunk(predictions, num_chunks, chunk_idx)
     out_file = open(output_path, "w", encoding="utf-8") if output_path else None
     results = []
     for pred in shard:
         prompt = build_judge_prompt(
-            pred["question"], pred["label"], pred["predict"]
+            pred[q_key], pred[a_key], pred[p_key]
         )
         verdict = parse_judge_output(generate(prompt))
         if verdict is None:
-            log.warning("unparseable judge output for question %r", pred["question"])
+            log.warning("unparseable judge output for question %r", pred[q_key])
             verdict = {"llama_pred": "no", "score": 0}
         rec = dict(pred)
         rec.update(verdict)
@@ -137,6 +149,7 @@ def main(argv=None) -> None:
     p.add_argument("--output_name", required=True)
     p.add_argument("--num_chunks", type=int, default=1)
     p.add_argument("--chunk_idx", type=int, default=0)
+    p.add_argument("--format", choices=sorted(FORMATS), default="ours")
     args = p.parse_args(argv)
 
     import os
@@ -161,6 +174,7 @@ def main(argv=None) -> None:
         output_path=os.path.join(args.output_dir, f"{args.output_name}.jsonl"),
         num_chunks=args.num_chunks,
         chunk_idx=args.chunk_idx,
+        fmt=args.format,
     )
 
 

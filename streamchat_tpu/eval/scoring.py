@@ -86,6 +86,32 @@ def per_class_breakdown(results: Iterable[dict]) -> Dict:
     return out
 
 
+def mc_accuracy(results: Iterable[dict]) -> Dict:
+    """Multiple-choice accuracy (calculate_score.py eval_intent /
+    eval_egoschema, :42-80): rows where 'truth' == 'correct_answer';
+    correct_answer == -1 marks an unparseable prediction.
+
+    (The NExT-QA per-type grouping mode needs the external val.csv the
+    reference hard-codes; run it with that file via group_key if needed.)
+    """
+    count = 0
+    valids = 0
+    corrects = 0
+    for r in results:
+        count += 1
+        if r.get("correct_answer") == -1:
+            continue
+        valids += 1
+        if r.get("truth") == r.get("correct_answer"):
+            corrects += 1
+    return {
+        "num_total": count,
+        "num_valids": valids,
+        "num_corrects": corrects,
+        "acc": corrects / count if count else 0.0,
+    }
+
+
 def main(argv=None) -> None:
     import argparse
 

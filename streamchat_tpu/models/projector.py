@@ -35,3 +35,35 @@ def apply(params: Params, features: jnp.ndarray) -> jnp.ndarray:
     h = features @ params["fc1"]["w"] + params["fc1"]["b"]
     h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(features.dtype)
     return h @ params["fc2"]["w"] + params["fc2"]["b"]
+
+
+# ---------------------------------------------------------------------------
+# Registry (reference build_vision_projector,
+# longva/model/multimodal_projector/builder.py:65): LongVA ships mlp2x_gelu;
+# linear and identity cover the other shipped checkpoints. "pooler" (LDPNet)
+# belongs to vendored baselines and is intentionally absent.
+# ---------------------------------------------------------------------------
+
+
+def init_linear(key: jax.Array, in_dim: int, out_dim: int, dtype=jnp.bfloat16) -> Params:
+    return {
+        "fc1": {
+            "w": (jax.random.normal(key, (in_dim, out_dim)) * in_dim**-0.5).astype(dtype),
+            "b": jnp.zeros((out_dim,), dtype),
+        }
+    }
+
+
+def apply_linear(params: Params, features: jnp.ndarray) -> jnp.ndarray:
+    return features @ params["fc1"]["w"] + params["fc1"]["b"]
+
+
+def build(projector_type: str):
+    """(init_fn, apply_fn) for a projector type string from the HF config."""
+    if projector_type == "mlp2x_gelu":
+        return init, apply
+    if projector_type == "linear":
+        return init_linear, apply_linear
+    if projector_type == "identity":
+        return (lambda key, i, o, dtype=jnp.bfloat16: {}), (lambda p, x: x)
+    raise ValueError(f"unknown projector type: {projector_type}")

@@ -1,0 +1,88 @@
+"""Tests for clustering extras, projector/resampler registries, judge formats,
+MC scoring."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from streamchat_tpu.ops.clustering import kmeans, knn, pairwise_distances, soft_kmeans
+
+
+class TestClusteringExtras:
+    def test_kmeans_separates_blobs(self, key):
+        a = jax.random.normal(key, (20, 8)) * 0.1
+        b = jax.random.normal(jax.random.key(1), (20, 8)) * 0.1 + 10.0
+        x = jnp.concatenate([a, b])
+        c, labels = kmeans(x, jax.random.key(2), num_clusters=2)
+        l = np.asarray(labels)
+        assert len(set(l[:20])) == 1 and len(set(l[20:])) == 1
+        assert l[0] != l[20]
+
+    def test_cosine_metric(self, key):
+        x = jax.random.normal(key, (4, 8))
+        d = pairwise_distances(x, x, "cosine")
+        assert np.allclose(np.diag(np.asarray(d)), 0.0, atol=1e-5)
+
+    def test_soft_kmeans_assignments_sum_to_one(self, key):
+        x = jax.random.normal(key, (12, 4))
+        _, w = soft_kmeans(x, key, num_clusters=3)
+        assert np.allclose(np.asarray(w).sum(axis=1), 1.0, atol=1e-5)
+
+    def test_knn(self, key):
+        pts = jnp.eye(5, 4)
+        q = jnp.eye(2, 4)
+        d, idx = knn(q, pts, k=1)
+        assert list(np.asarray(idx)[:, 0]) == [0, 1]
+        assert np.allclose(np.asarray(d)[:, 0], 0.0, atol=1e-6)
+
+
+class TestRegistries:
+    def test_projector_registry(self, key):
+        from streamchat_tpu.models import projector
+
+        for name in ("mlp2x_gelu", "linear", "identity"):
+            init_fn, apply_fn = projector.build(name)
+            p = init_fn(key, 8, 16, jnp.float32)
+            x = jnp.ones((2, 3, 8))
+            out = apply_fn(p, x)
+            assert out.shape[-1] == (8 if name == "identity" else 16)
+        with pytest.raises(ValueError):
+            projector.build("pooler")
+
+    def test_resampler_registry(self, key):
+        from streamchat_tpu.models import resampler
+
+        x = jax.random.normal(key, (2, 16, 8))
+        assert resampler.build(None)(x).shape == (2, 16, 8)
+        assert resampler.build("spatial_pool")(x, stride=2).shape == (2, 4, 8)
+        dropped = resampler.build("masked_drop")(x, key, ratio=0.5)
+        assert dropped.shape == (2, 8, 8)
+
+
+class TestJudgeFormats:
+    def test_generic_format(self):
+        from streamchat_tpu.eval.judge import judge_predictions
+
+        preds = [{"question": "Q", "answer": "A", "pred": "A!"}]
+        out = judge_predictions(
+            preds, lambda p: "{'llama_pred': 'yes', 'score': 5}", fmt="generic"
+        )
+        assert out[0]["llama_pred"] == "yes"
+        assert out[0]["pred"] == "A!"
+
+
+class TestMCScoring:
+    def test_mc_accuracy(self):
+        from streamchat_tpu.eval.scoring import mc_accuracy
+
+        rows = [
+            {"truth": 1, "correct_answer": 1},
+            {"truth": 2, "correct_answer": 0},
+            {"truth": 3, "correct_answer": -1},
+        ]
+        s = mc_accuracy(rows)
+        assert s["num_total"] == 3
+        assert s["num_valids"] == 2
+        assert s["num_corrects"] == 1
+        assert s["acc"] == pytest.approx(1 / 3)
