@@ -159,3 +159,48 @@ def encode(params: Params, pixels: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
     """
     h = hidden_states(params, pixels, cfg)
     return h[:, 1:, :]
+
+
+def encode_s2(
+    params: Params,
+    pixels: jnp.ndarray,
+    cfg: ViTConfig,
+    scales: tuple = (336, 672),
+) -> jnp.ndarray:
+    """S2 multiscale features: [N, P, hidden * len(scales)].
+
+    Rebuild of `CLIPVisionTowerS2` (clip_encoder.py:125-175) + the external
+    s2wrapper `multiscale_forward`: per scale s, resize to s x s, split into
+    (s/base)^2 base-size tiles, encode each tile, reassemble the tile grids,
+    average-pool back to the base patch grid, and concatenate channel-wise
+    (hidden_size * num_scales, :173-175). `pixels` are base-preprocessed
+    [N, 3, base, base]; upscaling to the larger scales happens here so one
+    preprocessing path serves both towers.
+    """
+    base = cfg.image_size
+    side = cfg.num_patches_per_side
+    n = pixels.shape[0]
+    outs = []
+    for s in sorted(scales):
+        ns = s // base
+        if ns * base != s:
+            raise ValueError(f"scale {s} not a multiple of base {base}")
+        if ns == 1:
+            outs.append(encode(params, pixels, cfg))
+            continue
+        big = jax.image.resize(
+            pixels, (n, 3, s, s), method="bicubic", antialias=False
+        )
+        # Split into ns x ns tiles of base size: [N*ns^2, 3, base, base].
+        tiles = big.reshape(n, 3, ns, base, ns, base)
+        tiles = tiles.transpose(0, 2, 4, 1, 3, 5).reshape(n * ns * ns, 3, base, base)
+        feats = encode(params, tiles, cfg)                   # [N*ns^2, P, D]
+        d = feats.shape[-1]
+        # Reassemble the full (ns*side)^2 grid, then avg-pool ns x ns back
+        # to the base grid (merge_chessboard + interpolate in s2wrapper).
+        grid = feats.reshape(n, ns, ns, side, side, d)
+        grid = grid.transpose(0, 1, 3, 2, 4, 5)              # [N, ns, side, ns, side, D]
+        grid = grid.reshape(n, ns * side, ns * side, d)
+        pooled = grid.reshape(n, side, ns, side, ns, d).mean(axis=(2, 4))
+        outs.append(pooled.reshape(n, side * side, d))
+    return jnp.concatenate(outs, axis=-1)
