@@ -97,8 +97,10 @@ def _flash_kernel(
 
     @pl.when(live)
     def _run():
-        q = q_ref[0, 0].astype(jnp.float32)                     # [bq, d]
-        k = k_ref[0, 0].astype(jnp.float32)                     # [bk, d]
+        # Keep Q/K in their storage dtype for the dot (bf16 runs the MXU at
+        # full rate; upcasting to f32 first quarters it) and accumulate f32.
+        q = q_ref[0, 0]                                         # [bq, d]
+        k = k_ref[0, 0]                                         # [bk, d]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )                                                       # [bq, bk]
@@ -121,9 +123,9 @@ def _flash_kernel(
         m_scratch[...] = m_next
         l_scratch[...] = l_next
 
-        v = v_ref[0, 0].astype(jnp.float32)                     # [bk, d]
+        v = v_ref[0, 0]                                         # [bk, d]
         acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + jax.lax.dot(
-            p, v, preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
 
     @pl.when(kj == num_kv_blocks - 1)
