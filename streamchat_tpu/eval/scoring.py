@@ -112,6 +112,51 @@ def mc_accuracy(results: Iterable[dict]) -> Dict:
     }
 
 
+def nextqa_grouped_accuracy(results: Iterable[dict], annotation_csv: str) -> Dict:
+    """NExT-QA per-type accuracy (calculate_score.py eval_next, :69-135,
+    itself adapted from doc-doc/NExT-QA eval_mc.py).
+
+    `annotation_csv` is the NExT-QA val.csv (columns video, qid, type) the
+    reference hard-codes; result rows carry {id: "<video>_<qid>", truth,
+    correct_answer}. 'TP' folds into 'TN'; overall groups C/T/D are the type
+    initials.
+    """
+    import csv
+
+    preds = {
+        r["id"]: {"truth": r["truth"], "pred": r["correct_answer"]}
+        for r in results
+    }
+    group: Dict[str, list] = {k: [] for k in
+                              ("CW", "CH", "TN", "TC", "DC", "DL", "DO")}
+    with open(annotation_csv, newline="", encoding="utf-8") as f:
+        for row in csv.DictReader(f):
+            qid = f"{row['video']}_{row['qid']}"
+            if qid not in preds:
+                continue
+            qtype = "TN" if row["type"] == "TP" else row["type"]
+            group.setdefault(qtype, []).append(qid)
+
+    group_stats = {}
+    overall = {"C": [0, 0], "T": [0, 0], "D": [0, 0]}
+    all_acc = all_cnt = 0
+    for qtype, ids in group.items():
+        acc = sum(1 for q in ids if preds[q]["truth"] == preds[q]["pred"])
+        cnt = len(ids)
+        group_stats[qtype] = {"acc": acc / cnt if cnt else 0.0, "count": cnt}
+        overall[qtype[0]][0] += acc
+        overall[qtype[0]][1] += cnt
+        all_acc += acc
+        all_cnt += cnt
+    return {
+        "per_type": group_stats,
+        "per_group": {
+            k: (a / c if c else 0.0) for k, (a, c) in overall.items()
+        },
+        "overall_acc": all_acc / all_cnt if all_cnt else 0.0,
+    }
+
+
 def main(argv=None) -> None:
     import argparse
 

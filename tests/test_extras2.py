@@ -86,3 +86,41 @@ class TestMCScoring:
         assert s["num_valids"] == 2
         assert s["num_corrects"] == 1
         assert s["acc"] == pytest.approx(1 / 3)
+
+
+class TestNextQA:
+    def test_grouped_accuracy(self, tmp_path):
+        from streamchat_tpu.eval.scoring import nextqa_grouped_accuracy
+
+        csv_path = tmp_path / "val.csv"
+        csv_path.write_text(
+            "video,qid,type\n"
+            "v1,0,CW\n"
+            "v1,1,TP\n"
+            "v2,0,DO\n"
+        )
+        rows = [
+            {"id": "v1_0", "truth": 2, "correct_answer": 2},
+            {"id": "v1_1", "truth": 1, "correct_answer": 0},
+            {"id": "v2_0", "truth": 3, "correct_answer": 3},
+        ]
+        out = nextqa_grouped_accuracy(rows, str(csv_path))
+        assert out["per_type"]["CW"] == {"acc": 1.0, "count": 1}
+        # TP folds into TN.
+        assert out["per_type"]["TN"] == {"acc": 0.0, "count": 1}
+        assert out["per_group"]["C"] == 1.0
+        assert out["per_group"]["T"] == 0.0
+        assert out["overall_acc"] == pytest.approx(2 / 3)
+
+
+class TestMultihost:
+    def test_host_shard(self):
+        from streamchat_tpu.parallel.multihost import host_shard, initialize
+
+        pid, n = initialize()
+        assert (pid, n) == (0, 1)
+        items = list(range(10))
+        assert host_shard(items, 0, 3) == [0, 1, 2, 3]
+        assert host_shard(items, 2, 3) == [8, 9]
+        got = [x for i in range(3) for x in host_shard(items, i, 3)]
+        assert got == items
