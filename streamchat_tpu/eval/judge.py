@@ -112,27 +112,40 @@ def judge_predictions(
     num_chunks: int = 1,
     chunk_idx: int = 0,
     fmt: str = "ours",
+    batch_size: int = 1,
 ) -> List[dict]:
     """Judge each prediction dict, appending llama_pred + score; writes
-    JSONL when output_path is given (:99, 165)."""
+    JSONL when output_path is given (:99, 165).
+
+    batch_size > 1 groups prompts into one prefill + fused decode loop per
+    batch (the reference generates one prediction at a time and regains
+    throughput only via per-GPU process fan-out); `generate` then receives a
+    list and must return a list.
+    """
     q_key, a_key, p_key = FORMATS[fmt]
     shard = get_chunk(predictions, num_chunks, chunk_idx)
     out_file = open(output_path, "w", encoding="utf-8") if output_path else None
     results = []
-    for pred in shard:
-        prompt = build_judge_prompt(
-            pred[q_key], pred[a_key], pred[p_key]
-        )
-        verdict = parse_judge_output(generate(prompt))
-        if verdict is None:
-            log.warning("unparseable judge output for question %r", pred[q_key])
-            verdict = {"llama_pred": "no", "score": 0}
-        rec = dict(pred)
-        rec.update(verdict)
-        results.append(rec)
-        if out_file:
-            out_file.write(json.dumps(rec) + "\n")
-            out_file.flush()
+    for i in range(0, len(shard), batch_size):
+        batch = shard[i : i + batch_size]
+        prompts = [
+            build_judge_prompt(p[q_key], p[a_key], p[p_key]) for p in batch
+        ]
+        if batch_size == 1:
+            outputs = [generate(prompts[0])]
+        else:
+            outputs = generate(prompts)
+        for pred, text in zip(batch, outputs):
+            verdict = parse_judge_output(text)
+            if verdict is None:
+                log.warning("unparseable judge output for question %r", pred[q_key])
+                verdict = {"llama_pred": "no", "score": 0}
+            rec = dict(pred)
+            rec.update(verdict)
+            results.append(rec)
+            if out_file:
+                out_file.write(json.dumps(rec) + "\n")
+                out_file.flush()
     if out_file:
         out_file.close()
     return results
@@ -150,6 +163,7 @@ def main(argv=None) -> None:
     p.add_argument("--num_chunks", type=int, default=1)
     p.add_argument("--chunk_idx", type=int, default=0)
     p.add_argument("--format", choices=sorted(FORMATS), default="ours")
+    p.add_argument("--batch_size", type=int, default=8)
     args = p.parse_args(argv)
 
     import os
@@ -168,13 +182,18 @@ def main(argv=None) -> None:
     with open(args.predict_file, encoding="utf-8") as f:
         predictions = json.load(f)
     os.makedirs(args.output_dir, exist_ok=True)
+    if args.batch_size > 1:
+        gen = lambda prompts: lm.generate_batch(prompts, max_new_tokens=64)
+    else:
+        gen = lambda prompt: lm.generate(prompt, max_new_tokens=64)
     judge_predictions(
         predictions,
-        lambda prompt: lm.generate(prompt, max_new_tokens=64),
+        gen,
         output_path=os.path.join(args.output_dir, f"{args.output_name}.jsonl"),
         num_chunks=args.num_chunks,
         chunk_idx=args.chunk_idx,
         fmt=args.format,
+        batch_size=args.batch_size,
     )
 
 

@@ -150,14 +150,14 @@ def _layer(
     q = rope(q, positions, cfg.rope_theta)
     k = rope(k, positions, cfg.rope_theta)
 
-    # Write new K/V into the cache at `start` (batch rows share the offset in
-    # prefill because prompts are left-aligned; decode writes one slot).
-    new_k = jax.lax.dynamic_update_slice(
-        cache_k, k.astype(cache_k.dtype), (0, 0, start[0], 0)
-    )
-    new_v = jax.lax.dynamic_update_slice(
-        cache_v, v.astype(cache_v.dtype), (0, 0, start[0], 0)
-    )
+    # Write new K/V into the cache at each row's own offset (rows may hold
+    # different prompt lengths in a batch; a shared start[0] offset would
+    # misplace every other row's decode token).
+    def write_row(cache_row, kv_row, idx):
+        return jax.lax.dynamic_update_slice(cache_row, kv_row, (0, idx, 0))
+
+    new_k = jax.vmap(write_row)(cache_k, k.astype(cache_k.dtype), start)
+    new_v = jax.vmap(write_row)(cache_v, v.astype(cache_v.dtype), start)
 
     if decode:
         o = decode_attention(q, new_k, new_v, kv_length)

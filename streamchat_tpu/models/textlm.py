@@ -61,24 +61,50 @@ class TextLM:
         temperature: float = 0.0,
         top_p: float | None = None,
     ) -> str:
-        ids = self.tokenizer.encode(prompt)
+        return self.generate_batch(
+            [prompt], max_new_tokens=max_new_tokens,
+            temperature=temperature, top_p=top_p,
+        )[0]
+
+    def generate_batch(
+        self,
+        prompts: list,
+        *,
+        max_new_tokens: int = 128,
+        temperature: float = 0.0,
+        top_p: float | None = None,
+    ) -> list:
+        """Batched generation: prompts pad to one 128-token bucket, one
+        prefill + one fused decode loop serve the whole batch (the judge's
+        per-prediction HF generate, one prompt at a time, is the reference's
+        eval bottleneck — inference_streamchat_v0.3.sh works around it with
+        per-GPU process fan-out)."""
+        if not prompts:
+            return []
         dtype = self.params["embed"].dtype
-        embeds = decoder.embed_tokens(
-            self.params, jnp.asarray(ids, jnp.int32)
-        )[None].astype(dtype)
-        length = embeds.shape[1]
-        padded = genlib.pad_to_bucket(length)
-        if padded > length:
-            embeds = jnp.pad(embeds, ((0, 0), (0, padded - length), (0, 0)))
-        cache = KVCache.create(
-            self.cfg, 1, padded + max_new_tokens, dtype=dtype
-        )
+        ids = [self.tokenizer.encode(p) for p in prompts]
+        lengths = [len(i) for i in ids]
+        padded = genlib.pad_to_bucket(max(lengths))
+        b = len(prompts)
+        d = self.params["embed"].shape[1]
+        embeds = jnp.zeros((b, padded, d), dtype)
+        for row, seq in enumerate(ids):
+            e = decoder.embed_tokens(self.params, jnp.asarray(seq, jnp.int32))
+            embeds = jax.lax.dynamic_update_slice(
+                embeds, e[None].astype(dtype), (row, 0, 0)
+            )
+        cache = KVCache.create(self.cfg, b, padded + max_new_tokens, dtype=dtype)
         toks, count = genlib.generate(
             self.params, self.cfg, embeds,
-            jnp.array([length], jnp.int32), cache, self.keys(),
+            jnp.asarray(lengths, jnp.int32), cache, self.keys(),
             max_new_tokens=max_new_tokens,
             temperature=temperature, top_p=top_p,
             eos_ids=tuple(self.tokenizer.eos_ids),
         )
-        n = int(count[0])
-        return self.tokenizer.decode([int(t) for t in toks[0][:n]]).strip()
+        out = []
+        for row in range(b):
+            n = int(count[row])
+            out.append(
+                self.tokenizer.decode([int(t) for t in toks[row][:n]]).strip()
+            )
+        return out

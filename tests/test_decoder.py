@@ -114,3 +114,19 @@ def test_pad_to_bucket():
     assert pad_to_bucket(128) == 128
     assert pad_to_bucket(129) == 256
     assert pad_to_bucket(700, 256) == 768
+
+
+def test_ragged_batch_decode_matches_single(key):
+    """Batched generation with different prompt lengths must match per-row
+    single generation (per-row KV write offsets)."""
+    from streamchat_tpu.config import DecoderConfig
+    from streamchat_tpu.models.textlm import TextLM
+
+    cfg = DecoderConfig.tiny()
+    lm = TextLM.init_random(key, cfg, dtype=jnp.float32)
+    prompts = ["short", "a considerably longer prompt with more bytes"]
+    batch = lm.generate_batch(prompts, max_new_tokens=6, temperature=0.0)
+    singles = [
+        lm.generate(p, max_new_tokens=6, temperature=0.0) for p in prompts
+    ]
+    assert batch == singles

@@ -141,3 +141,31 @@ class TestTextLM:
         rows = read_jsonl(str(tmp_path / "judged.jsonl"))
         assert len(rows) == 1
         assert "llama_pred" in rows[0] and "score" in rows[0]
+
+
+class TestBatchedJudge:
+    def test_batched_matches_single(self):
+        def fake_single(prompt):
+            return "{'llama_pred': 'yes', 'score': 5}" if "A1 exactly" in prompt \
+                else "{'llama_pred': 'no', 'score': 1}"
+
+        def fake_batch(prompts):
+            return [fake_single(p) for p in prompts]
+
+        single = judge_predictions(PREDICTIONS, fake_single, batch_size=1)
+        batched = judge_predictions(PREDICTIONS, fake_batch, batch_size=2)
+        assert single == batched
+
+    def test_judge_cli_batched(self, tmp_path):
+        from streamchat_tpu.eval import judge as judge_mod
+
+        pred_path = tmp_path / "preds.json"
+        pred_path.write_text(json.dumps(PREDICTIONS))
+        judge_mod.main([
+            "--predict_file", str(pred_path),
+            "--output_dir", str(tmp_path),
+            "--output_name", "judged",
+            "--batch_size", "2",
+        ])
+        rows = read_jsonl(str(tmp_path / "judged.jsonl"))
+        assert len(rows) == 2
