@@ -1,0 +1,152 @@
+"""Paged KV cache: block-granular KV storage with a page table.
+
+The contiguous per-sequence cache (models/decoder.KVCache) preallocates
+max_len slots per row — fine for the benchmark's one-question-at-a-time
+decode, wasteful for serving many concurrent streams of wildly different
+lengths (SURVEY.md §5 calls for "a paged cache + Pallas flash attention" on
+the long-context path). This module provides the vLLM-style alternative:
+
+  * one global page pool per layer: [num_pages, Hkv, page_size, Dh];
+  * a per-sequence page table [B, max_pages] of pool indices;
+  * a sequential device allocator (next_free scalar) — pages are recycled
+    by resetting the allocator between batches (streaming QA frees whole
+    conversations at once, so a free-list adds nothing here).
+
+`append` writes one token per sequence into its current tail page;
+`paged_decode_attention` gathers the table's pages and runs masked decode
+attention. All static shapes; jit/scan safe.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from streamchat_tpu.config import DecoderConfig
+from streamchat_tpu.ops.attention import DEFAULT_MASK_VALUE
+
+
+class PagedKVCache(NamedTuple):
+    k_pages: jnp.ndarray      # [L, num_pages, Hkv, page_size, Dh]
+    v_pages: jnp.ndarray      # [L, num_pages, Hkv, page_size, Dh]
+    page_table: jnp.ndarray   # [B, max_pages] int32 pool indices (-1 = unmapped)
+    length: jnp.ndarray       # [B] tokens stored per sequence
+    next_free: jnp.ndarray    # [] next unallocated pool page
+
+    @property
+    def page_size(self) -> int:
+        return self.k_pages.shape[3]
+
+    @classmethod
+    def create(
+        cls,
+        cfg: DecoderConfig,
+        batch: int,
+        num_pages: int,
+        max_pages_per_seq: int,
+        page_size: int = 128,
+        dtype=jnp.bfloat16,
+    ) -> "PagedKVCache":
+        shape = (cfg.num_layers, num_pages, cfg.num_kv_heads, page_size, cfg.head_dim)
+        return cls(
+            k_pages=jnp.zeros(shape, dtype),
+            v_pages=jnp.zeros(shape, dtype),
+            page_table=jnp.full((batch, max_pages_per_seq), -1, jnp.int32),
+            length=jnp.zeros((batch,), jnp.int32),
+            next_free=jnp.zeros((), jnp.int32),
+        )
+
+
+def allocate_pages(cache: PagedKVCache, tokens_per_seq: jnp.ndarray) -> PagedKVCache:
+    """Map enough pool pages for each sequence to hold `length + tokens`.
+
+    Sequential allocation: rows claim page ranges in batch order. Intended
+    call pattern: once before prefill with the prompt lengths, then the
+    decode loop calls it with ones (a no-op until a page boundary).
+    """
+    b, max_pages = cache.page_table.shape
+    ps = cache.page_size
+    have = (cache.length + ps - 1) // ps            # pages currently mapped
+    need = (cache.length + tokens_per_seq + ps - 1) // ps
+    extra = need - have                              # [B]
+    starts = cache.next_free + jnp.cumsum(extra) - extra
+    slot = jax.lax.broadcasted_iota(jnp.int32, (b, max_pages), 1)
+    new_idx = starts[:, None] + (slot - have[:, None])
+    grow = (slot >= have[:, None]) & (slot < need[:, None])
+    table = jnp.where(grow, new_idx, cache.page_table)
+    return cache._replace(
+        page_table=table, next_free=cache.next_free + jnp.sum(extra)
+    )
+
+
+@jax.jit
+def append_token_kv(
+    cache: PagedKVCache,
+    layer: jnp.ndarray,      # [] layer index
+    k: jnp.ndarray,          # [B, Hkv, Dh] the new token's K
+    v: jnp.ndarray,
+) -> PagedKVCache:
+    """Write one token per sequence into its tail page (single layer)."""
+    ps = cache.page_size
+    page_slot = cache.length // ps                  # [B] index into table
+    page_idx = jnp.take_along_axis(
+        cache.page_table, page_slot[:, None], axis=1
+    )[:, 0]                                         # [B] pool page
+    offset = cache.length % ps
+
+    def write(pages, val):
+        def per_row(pages, pi, off, val_row):
+            return pages.at[pi, :, off].set(val_row)
+
+        # Sequential scatter over rows (B is small in decode).
+        def body(pages, args):
+            pi, off, vr = args
+            return per_row(pages, pi, off, vr), None
+
+        pages, _ = jax.lax.scan(
+            body, pages, (page_idx, offset, val.astype(pages.dtype))
+        )
+        return pages
+
+    k_pages = cache.k_pages.at[layer].set(write(cache.k_pages[layer], k))
+    v_pages = cache.v_pages.at[layer].set(write(cache.v_pages[layer], v))
+    return cache._replace(k_pages=k_pages, v_pages=v_pages)
+
+
+def advance(cache: PagedKVCache, tokens: jnp.ndarray) -> PagedKVCache:
+    """Bump per-sequence lengths after all layers appended."""
+    return cache._replace(length=cache.length + tokens)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale",))
+def paged_decode_attention(
+    q: jnp.ndarray,           # [B, H, 1, Dh]
+    k_pages: jnp.ndarray,     # [num_pages, Hkv, page_size, Dh] (one layer)
+    v_pages: jnp.ndarray,
+    page_table: jnp.ndarray,  # [B, max_pages]
+    length: jnp.ndarray,      # [B]
+    sm_scale: float | None = None,
+) -> jnp.ndarray:
+    """Single-token attention against a paged cache -> [B, H, 1, Dh]."""
+    b, hq, _, d = q.shape
+    hkv, ps = k_pages.shape[1], k_pages.shape[2]
+    if sm_scale is None:
+        sm_scale = d ** -0.5
+    safe_table = jnp.maximum(page_table, 0)
+    k = k_pages[safe_table]                         # [B, maxp, Hkv, ps, Dh]
+    v = v_pages[safe_table]
+    maxp = page_table.shape[1]
+    k = k.transpose(0, 2, 1, 3, 4).reshape(b, hkv, maxp * ps, d)
+    v = v.transpose(0, 2, 1, 3, 4).reshape(b, hkv, maxp * ps, d)
+
+    g = hq // hkv
+    qg = q.reshape(b, hkv, g, d).astype(jnp.float32)
+    s = jnp.einsum("bhgd,bhld->bhgl", qg, k.astype(jnp.float32)) * sm_scale
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, maxp * ps), 3)
+    s = jnp.where(col < length[:, None, None, None], s, DEFAULT_MASK_VALUE)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhgl,bhld->bhgd", p, v.astype(jnp.float32))
+    return o.reshape(b, hq, 1, d).astype(q.dtype)
