@@ -3,7 +3,7 @@
 Rebuilds `eval_video_qa_with_llama3_ours.py:38-171`: the hand-built
 `<|begin_of_text|> <|start_header_id|> role <|end_header_id|> ... <|eot_id|>`
 chat prompt (joined with SPACES — a reference quirk kept because it
-conditions the judge), greedy generation, and the `\{.*?\}` +
+conditions the judge), greedy generation, and the brace-regex +
 `ast.literal_eval` parse into `{'llama_pred': 'yes'/'no', 'score': int}`.
 
 Data-parallel sharding keeps the reference's --num_chunks/--chunk_idx
@@ -89,8 +89,8 @@ def parse_judge_output(text: str) -> Optional[Dict]:
 
 
 def get_chunk(lst: List, num_chunks: int, chunk_idx: int) -> List:
-    """Contiguous ceil-split sharding (:69-75)."""
-    size = math.ceil(len(lst) / num_chunks)
+    """Contiguous ceil-split sharding (:69-75); empty input -> empty shard."""
+    size = max(1, math.ceil(len(lst) / num_chunks))
     chunks = [lst[i : i + size] for i in range(0, len(lst), size)]
     return chunks[chunk_idx] if chunk_idx < len(chunks) else []
 

@@ -60,10 +60,17 @@ def per_class_breakdown(results: Iterable[dict]) -> Dict:
     prev: Optional[float] = None
     process_times = []
     for r in results:
+        try:
+            score = int(r["score"])
+            pred = r["llama_pred"]
+        except (KeyError, TypeError, ValueError):
+            # Malformed rows are skipped like aggregate_scores (and the
+            # reference's bare except) so one bad JSONL line cannot crash
+            # the breakdown after aggregation already succeeded.
+            continue
         c = r.get("class")
-        score = r["score"]
         class_scores[c] += score
-        class_acc[c] += 1 if r["llama_pred"] == "yes" else 0
+        class_acc[c] += 1 if pred == "yes" else 0
         class_counts[c] += 1
         if prev is not None:
             diffs.append(abs(score - prev))
@@ -144,8 +151,11 @@ def nextqa_grouped_accuracy(results: Iterable[dict], annotation_csv: str) -> Dic
         acc = sum(1 for q in ids if preds[q]["truth"] == preds[q]["pred"])
         cnt = len(ids)
         group_stats[qtype] = {"acc": acc / cnt if cnt else 0.0, "count": cnt}
-        overall[qtype[0]][0] += acc
-        overall[qtype[0]][1] += cnt
+        # Unknown type codes (outside C*/T*/D*) get their own overall bucket
+        # instead of crashing (the reference assumes the fixed NExT-QA set).
+        bucket = overall.setdefault(qtype[:1], [0, 0])
+        bucket[0] += acc
+        bucket[1] += cnt
         all_acc += acc
         all_cnt += cnt
     return {

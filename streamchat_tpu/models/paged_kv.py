@@ -20,7 +20,7 @@ attention. All static shapes; jit/scan safe.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -77,9 +77,36 @@ def allocate_pages(cache: PagedKVCache, tokens_per_seq: jnp.ndarray) -> PagedKVC
     new_idx = starts[:, None] + (slot - have[:, None])
     grow = (slot >= have[:, None]) & (slot < need[:, None])
     table = jnp.where(grow, new_idx, cache.page_table)
-    return cache._replace(
+    new_cache = cache._replace(
         page_table=table, next_free=cache.next_free + jnp.sum(extra)
     )
+    # Overflow is silent inside jit (out-of-range scatters drop, gathers
+    # clamp — decode would read another sequence's KV). Callers must check
+    # has_overflowed() at batch boundaries; with concrete inputs we fail
+    # loudly here.
+    if isinstance(new_cache.next_free, jnp.ndarray) and not isinstance(
+        new_cache.next_free, jax.core.Tracer
+    ):
+        if has_overflowed(new_cache, need):
+            raise ValueError(
+                f"paged KV overflow: need {int(jnp.max(need))} pages/seq "
+                f"(max {max_pages}), pool used {int(new_cache.next_free)}"
+                f"/{cache.k_pages.shape[1]}"
+            )
+    return new_cache
+
+
+def has_overflowed(cache: PagedKVCache, need: Optional[jnp.ndarray] = None):
+    """True when the pool or a sequence's page table has been exhausted."""
+    num_pages = cache.k_pages.shape[1]
+    max_pages = cache.page_table.shape[1]
+    over = cache.next_free > num_pages
+    if need is not None:
+        over = over | jnp.any(need > max_pages)
+    else:
+        ps = cache.page_size
+        over = over | jnp.any((cache.length + ps - 1) // ps > max_pages)
+    return bool(over) if not isinstance(over, jax.core.Tracer) else over
 
 
 @jax.jit

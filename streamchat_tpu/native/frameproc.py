@@ -45,9 +45,17 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-            if not _build():
-                return None
+        try:
+            stale = not os.path.exists(_SO) or (
+                os.path.exists(_SRC)
+                and os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+            )
+        except OSError:
+            stale = not os.path.exists(_SO)
+        if stale and not _build():
+            return None
+        if not os.path.exists(_SO):
+            return None
         try:
             lib = ctypes.CDLL(_SO)
         except OSError:

@@ -85,12 +85,13 @@ def compress_kv(
 
     pos = jnp.arange(l)
     recent_start = length - recent_size
-    # Candidate region: [sink_size, recent_start). Pin sinks with +inf,
-    # exclude recent/invalid with -inf.
+    # Candidate region: [sink_size, recent_start). Exclude recent/invalid
+    # with -inf FIRST, then pin sinks with +inf (the other order lets the
+    # recent mask erase a sink pin when length < c).
     score = hh_score.astype(jnp.float32)
-    score = jnp.where(pos[None] < sink_size, jnp.inf, score)
     in_recent_or_pad = pos[None] >= recent_start
     score = jnp.where(in_recent_or_pad, -jnp.inf, score)
+    score = jnp.where(pos[None] < sink_size, jnp.inf, score)
     _, keep_hh = jax.lax.top_k(score, sink_size + hh_size)   # [H, sink+hh]
     keep_hh = jnp.sort(keep_hh, axis=1)
     keep_recent = jnp.clip(
@@ -98,6 +99,11 @@ def compress_kv(
     )
     keep_recent = jnp.broadcast_to(keep_recent, (h, recent_size))
     keep = jnp.concatenate([keep_hh, keep_recent], axis=1)   # [H, C]
+    # When the runtime length fits in C, selection above would emit
+    # duplicates/garbage; fall back to the identity layout so the first
+    # `length` slots are exactly the original cache.
+    identity = jnp.broadcast_to(jnp.arange(c)[None], (h, c))
+    keep = jnp.where(length <= c, identity, keep)
 
     k_kept = jnp.take_along_axis(k, keep[:, :, None], axis=1)
     v_kept = jnp.take_along_axis(v, keep[:, :, None], axis=1)
@@ -142,4 +148,4 @@ def compress_kv(
             [v_upd.astype(v.dtype), v_kept[:, n_hh:]], axis=1
         )
 
-    return k_kept, v_kept, s_kept, jnp.asarray(c, jnp.int32)
+    return k_kept, v_kept, s_kept, jnp.minimum(length, c).astype(jnp.int32)

@@ -59,11 +59,17 @@ def encode_segment(
     feats = []
     for i in range(0, frames.shape[0], max_batch):
         batch = frames[i : i + max_batch]
-        # Pad the tail batch to max_batch to avoid a second compile; the
-        # padded rows are sliced off after encoding.
+        # Pad every batch up to a 16-multiple (tail batches to max_batch when
+        # the segment spans several) so segment lengths that vary per
+        # breakpoint reuse a handful of compiled ViT programs instead of
+        # compiling one per distinct N (ViT-L compiles are minutes-scale
+        # through the remote-compile tunnel).
         valid = batch.shape[0]
-        if valid < max_batch and frames.shape[0] > max_batch:
-            pad = np.zeros((max_batch - valid,) + batch.shape[1:], batch.dtype)
+        target = max_batch if frames.shape[0] > max_batch else min(
+            max_batch, max(16, ((valid + 15) // 16) * 16)
+        )
+        if valid < target:
+            pad = np.zeros((target - valid,) + batch.shape[1:], batch.dtype)
             batch = np.concatenate([batch, pad], axis=0)
         pixels = preprocess_frames(jnp.asarray(batch), cfg.image_size)
         feats.append(model.encode_images(pixels)[:valid])

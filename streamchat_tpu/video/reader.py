@@ -142,10 +142,15 @@ class PrefetchReader:
 
     def read_frames(self, indices: Sequence[int]) -> np.ndarray:
         indices = tuple(indices)
-        if self._pending is not None and self._pending[0] == indices:
-            fut = self._pending[1]
+        if self._pending is not None:
+            sched, fut = self._pending
             self._pending = None
-            return fut.result()
+            if sched == indices:
+                return fut.result()
+            # A stale prefetch is still driving the capture on the worker
+            # thread; wait it out before touching the (not thread-safe)
+            # cv2.VideoCapture from this thread.
+            fut.result()
         return self._reader.read_frames(indices)
 
     def stop(self) -> None:

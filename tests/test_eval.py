@@ -169,3 +169,18 @@ class TestBatchedJudge:
         ])
         rows = read_jsonl(str(tmp_path / "judged.jsonl"))
         assert len(rows) == 2
+
+
+def test_empty_predictions_no_crash(tmp_path):
+    out = judge_predictions([], lambda p: "x",
+                            output_path=str(tmp_path / "e.jsonl"))
+    assert out == []
+    assert read_jsonl(str(tmp_path / "e.jsonl")) == []
+
+
+def test_breakdown_tolerates_malformed_rows():
+    b = per_class_breakdown([
+        {"llama_pred": "yes"},                       # no score
+        {"llama_pred": "yes", "score": 4, "class": "X"},
+    ])
+    assert b["classes"]["X"]["count"] == 1

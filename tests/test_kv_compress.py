@@ -88,3 +88,16 @@ def test_avg_merge_changes_kept_keys():
     np.testing.assert_allclose(
         np.asarray(k_plain[0, 2:]), np.asarray(k_merged[0, 2:])
     )
+
+
+def test_runtime_length_below_capacity_identity():
+    """length < C with a LARGER static L: identity slots, no duplicates
+    (review finding: keep_recent clipping used to emit garbage rows)."""
+    k, v = make_cache(h=1, l=64)
+    score = jnp.ones((1, 64))
+    k2, v2, _, kept = compress_kv(
+        k, v, score, jnp.asarray(10),
+        hh_size=8, recent_size=16, sink_size=4,
+    )
+    assert int(kept) == 10
+    np.testing.assert_allclose(np.asarray(k2[:, :10]), np.asarray(k[:, :10]))

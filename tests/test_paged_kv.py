@@ -99,3 +99,10 @@ def test_ragged_lengths(cfg, key):
     )
     ref = decode_attention(q, contig_k, contig_v, length)
     np.testing.assert_allclose(np.asarray(paged), np.asarray(ref), atol=1e-5)
+
+
+def test_allocate_overflow_raises(cfg):
+    cache = PagedKVCache.create(cfg, batch=1, num_pages=2,
+                                max_pages_per_seq=2, page_size=4)
+    with pytest.raises(ValueError, match="overflow"):
+        allocate_pages(cache, jnp.array([100]))
