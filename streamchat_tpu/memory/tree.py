@@ -60,6 +60,7 @@ class MemoryTreeNode:
     depth: int = 0
     children: List["MemoryTreeNode"] = dataclasses.field(default_factory=list)
     emb: Optional[np.ndarray] = None       # cached caption embedding [E]
+    token_emb: Optional[np.ndarray] = None # cached token embeddings [T, E] (MaxSim)
 
 
 def _count_by_depth(roots: Sequence[MemoryTreeNode]) -> Dict[int, int]:
@@ -92,12 +93,18 @@ class VisualMemoryTree:
         embed_fn: EmbedFn,
         summarize_fn: SummarizeFn,
         merge_fn: MergeFn,
+        embed_tokens_fn=None,
     ) -> None:
+        """embed_tokens_fn: optional List[str] -> ([N, T, E], mask [N, T]);
+        enables MaxSim search (the colbert model's native late-interaction
+        scoring — the reference collapses it to CLS pooling,
+        utiles.py:689-697; see ops/retrieval.maxsim_score)."""
         self.num_clusters = num_clusters
         self.interval = interval
         self._embed = embed_fn
         self._summarize = summarize_fn
         self._merge = merge_fn
+        self._embed_tokens = embed_tokens_fn
         self.roots: List[MemoryTreeNode] = []
 
     # ------------------------------------------------------------------
@@ -117,9 +124,22 @@ class VisualMemoryTree:
             raise ValueError("centroids/captions length mismatch")
         if captions:
             embs = np.asarray(self._embed(list(captions)))
-            for c, t, e in zip(centroids_list, captions, embs):
-                self.roots.append(MemoryTreeNode(centroids=c, text=t, emb=e))
+            tok_embs = self._token_embs(list(captions))
+            for i, (c, t, e) in enumerate(zip(centroids_list, captions, embs)):
+                self.roots.append(MemoryTreeNode(
+                    centroids=c, text=t, emb=e,
+                    token_emb=None if tok_embs is None else tok_embs[i],
+                ))
         self._maybe_merge()
+
+    def _token_embs(self, texts: List[str]):
+        """Per-text unpadded token embeddings, or None when MaxSim is off."""
+        if self._embed_tokens is None:
+            return None
+        hidden, mask = self._embed_tokens(texts)
+        hidden = np.asarray(hidden)
+        mask = np.asarray(mask)
+        return [hidden[i][mask[i] > 0] for i in range(len(texts))]
 
     def _maybe_merge(self) -> None:
         """One summarize-splice pass (reference does at most one per update)."""
@@ -139,12 +159,14 @@ class VisualMemoryTree:
         else:
             merged = combined
         summary = self._summarize([n.text for n in chunk])
+        parent_tok = self._token_embs([summary])
         parent = MemoryTreeNode(
             centroids=merged,
             text=summary,
             depth=chunk[0].depth + 1,
             children=list(chunk),
             emb=np.asarray(self._embed([summary]))[0],
+            token_emb=None if parent_tok is None else parent_tok[0],
         )
         self.roots[start : start + self.interval] = [parent]
 
@@ -191,6 +213,46 @@ class VisualMemoryTree:
             path_features.append(redundant[i].centroids)
             path_text.append(redundant[i].text)
 
+        return path_features, path_text
+
+    def search_maxsim(
+        self, query_token_emb: jnp.ndarray
+    ) -> Tuple[List[jnp.ndarray], List[str]]:
+        """Greedy descent scored by ColBERT MaxSim over cached token
+        embeddings (upgrade path over CLS pooling; ops/retrieval.maxsim_score).
+
+        query_token_emb: [Tq, E] unpadded question token embeddings.
+        Requires the tree to have been built with embed_tokens_fn.
+        """
+        from streamchat_tpu.ops.retrieval import maxsim_score
+
+        q = jnp.asarray(query_token_emb)
+
+        def best(nodes: Sequence[MemoryTreeNode]) -> int:
+            scores = []
+            for n in nodes:
+                if n.token_emb is None:
+                    raise ValueError("tree built without embed_tokens_fn")
+                s = maxsim_score(q, jnp.asarray(n.token_emb)[None])
+                scores.append(float(s[0]))
+            return int(np.argmax(scores))
+
+        path_features: List[jnp.ndarray] = []
+        path_text: List[str] = []
+        redundant: List[MemoryTreeNode] = []
+        for root in self.roots:
+            if root.depth == 0:
+                redundant.append(root)
+                continue
+            node = root
+            while node.children:
+                node = node.children[best(node.children)]
+                path_features.append(node.centroids)
+                path_text.append(node.text)
+        if redundant:
+            i = best(redundant)
+            path_features.append(redundant[i].centroids)
+            path_text.append(redundant[i].text)
         return path_features, path_text
 
     def search_features(self, query_feats: jnp.ndarray) -> List[jnp.ndarray]:
@@ -257,6 +319,7 @@ class VisualMemoryTree:
                 "text": n.text,
                 "depth": n.depth,
                 "emb": None if n.emb is None else np.asarray(n.emb),
+                "token_emb": None if n.token_emb is None else np.asarray(n.token_emb),
                 "children": [pack(c) for c in n.children],
             }
 
@@ -280,6 +343,7 @@ class VisualMemoryTree:
                 text=d["text"],
                 depth=d["depth"],
                 emb=d["emb"],
+                token_emb=d.get("token_emb"),
                 children=[unpack(c) for c in d["children"]],
             )
 

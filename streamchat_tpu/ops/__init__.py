@@ -3,6 +3,7 @@ from streamchat_tpu.ops.attention import (
     flash_attention,
     prefill_attention,
 )
+from streamchat_tpu.ops.clustering import kmeans, knn, pairwise_distances, soft_kmeans
 from streamchat_tpu.ops.dedup import frame_descriptors, select_changed_frames, ssim_pairs
 from streamchat_tpu.ops.forgetting import (
     forgetting_probabilities,
@@ -10,7 +11,15 @@ from streamchat_tpu.ops.forgetting import (
     select_short_memory,
 )
 from streamchat_tpu.ops.kmeans import weighted_kmeans, weighted_kmeans_feature
+from streamchat_tpu.ops.kv_compress import attention_mass, compress_kv, update_hh_score
+from streamchat_tpu.ops.optical_flow import (
+    compute_gradients,
+    flow_magnitude,
+    grayscale,
+    keep_frames_optical_flow,
+)
 from streamchat_tpu.ops.pooling import compress_spatial_features, pool_patch_grid
+from streamchat_tpu.ops.ring_attention import ring_attention
 from streamchat_tpu.ops.retrieval import (
     cosine_scores,
     cosine_topk,
@@ -23,6 +32,18 @@ __all__ = [
     "decode_attention",
     "flash_attention",
     "prefill_attention",
+    "kmeans",
+    "knn",
+    "pairwise_distances",
+    "soft_kmeans",
+    "attention_mass",
+    "compress_kv",
+    "update_hh_score",
+    "compute_gradients",
+    "flow_magnitude",
+    "grayscale",
+    "keep_frames_optical_flow",
+    "ring_attention",
     "frame_descriptors",
     "select_changed_frames",
     "ssim_pairs",

@@ -70,6 +70,9 @@ class StreamChatPipeline:
         self._caption = make_captioner(model, cfg.sampling)
         self._summarize = make_summarizer(model, cfg.sampling)
         self._key = jax.random.key(cfg.seed)
+        # False reproduces the reference's literal dead k-means guard
+        # (see pipeline/memory_update.py docstring).
+        self.cluster_full_chunks = True
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -138,6 +141,7 @@ class StreamChatPipeline:
                     tree, short_memory = update_memory(
                         features, tree, self._caption, self.cfg.memory,
                         self._next_key(),
+                        cluster_full_chunks=self.cluster_full_chunks,
                     )
             if short_memory is None:
                 log.warning("empty segment [%s, %s): skipping question", start_s, end_s)
@@ -184,6 +188,7 @@ class StreamChatPipeline:
         log.info("phase totals (s): %s", {
             k: round(v, 2) for k, v in timer.summary().items()
         })
+        self.last_tree = tree   # exposed for persistence / inspection
         return results
 
 
@@ -234,6 +239,14 @@ def run_inference(pipeline: StreamChatPipeline, args) -> None:
             save_file=args.save_file,
         )
         reader.close()
+        if getattr(args, "save_tree_dir", None):
+            # Optional visual-memory persistence — the reference keeps the
+            # tree in-memory only and loses it per video (SURVEY.md §5).
+            import pickle
+
+            os.makedirs(args.save_tree_dir, exist_ok=True)
+            with open(os.path.join(args.save_tree_dir, f"tree_{count}.pkl"), "wb") as f:
+                pickle.dump(pipeline.last_tree.to_state(), f)
         log.info(
             "[%d/%d] %s: %d questions in %.1fs",
             count + 1, len(all_annotations), video_name,
@@ -311,6 +324,11 @@ def parse_args(argv=None):
     p.add_argument("--multi_modal_memory", action="store_true")
     p.add_argument("--shard", action="store_true",
                    help="tensor-parallel the model over all visible devices")
+    p.add_argument("--save_tree_dir", type=str, default=None,
+                   help="persist each video's visual memory tree here")
+    p.add_argument("--literal_kmeans", action="store_true",
+                   help="reproduce the reference's dead per-chunk k-means "
+                        "guard (raw chunk features in tree nodes)")
     return p.parse_args(argv)
 
 
@@ -353,6 +371,8 @@ def main(argv=None) -> None:
     pipeline = build_pipeline(cfg)
     if args.shard:
         pipeline.model.shard()
+    if args.literal_kmeans:
+        pipeline.cluster_full_chunks = False
     run_inference(pipeline, args)
 
 

@@ -270,3 +270,51 @@ class TestSummarizeMemory:
         out = summarize_memory(memory, lambda p: "NEW")
         assert out["u"]["summary"]["d"] == {"content": "keep"}
         assert out["u"]["personality"]["d"] == "keep too"
+
+
+class TestMaxSimSearch:
+    def test_maxsim_descent(self, key):
+        from streamchat_tpu.memory.tree import VisualMemoryTree
+
+        def embed_tokens(texts):
+            # 2 "tokens" per text: bigram hash split in half.
+            flat = hash_embed(texts)                    # [N, 32]
+            hidden = np.stack([flat[:, :16], flat[:, 16:]], axis=1)  # [N,2,16]
+            mask = np.ones((len(texts), 2), np.int32)
+            return hidden, mask
+
+        tree = VisualMemoryTree(
+            2, 3, hash_embed, lambda c: "sum:" + "|".join(c),
+            lambda x, k: x[:2], embed_tokens_fn=embed_tokens,
+        )
+        caps = ["a red car driving", "a dog in the park", "people eating lunch"]
+        for i, c in enumerate(caps):
+            tree.add_chunks([chunk_features(jax.random.key(i), n=2)], [c])
+        tree.add_chunks([chunk_features(jax.random.key(9), n=2)], ["a dog chasing a ball"])
+
+        q_hidden, _ = embed_tokens(["where is the dog"])
+        feats, texts = tree.search_maxsim(jnp.asarray(q_hidden[0]))
+        assert len(feats) == len(texts) == 2
+        assert texts[-1] == "a dog chasing a ball"
+
+    def test_maxsim_without_token_fn_raises(self, key):
+        tree = make_tree(interval=2)
+        tree.add_chunks([chunk_features(key, n=2)], ["a"])
+        tree.add_chunks([chunk_features(key, n=2)], ["b"])  # merged to depth-1
+        with pytest.raises(ValueError, match="embed_tokens_fn"):
+            tree.search_maxsim(jnp.ones((2, 16)))
+
+    def test_state_roundtrip_with_tokens(self, key):
+        from streamchat_tpu.memory.tree import VisualMemoryTree
+
+        def embed_tokens(texts):
+            flat = hash_embed(texts)
+            return np.stack([flat[:, :16], flat[:, 16:]], 1), np.ones((len(texts), 2), np.int32)
+
+        tree = VisualMemoryTree(2, 3, hash_embed, lambda c: "s",
+                                lambda x, k: x[:2], embed_tokens_fn=embed_tokens)
+        tree.add_chunks([chunk_features(key, n=2)], ["hello world"])
+        state = tree.to_state()
+        tree2 = VisualMemoryTree.from_state(state, 2, 3, hash_embed,
+                                            lambda c: "s", lambda x, k: x[:2])
+        assert tree2.roots[0].token_emb is not None
