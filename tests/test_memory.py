@@ -318,3 +318,21 @@ class TestMaxSimSearch:
         tree2 = VisualMemoryTree.from_state(state, 2, 3, hash_embed,
                                             lambda c: "s", lambda x, k: x[:2])
         assert tree2.roots[0].token_emb is not None
+
+
+def test_long_stream_tree_stress(key):
+    """Hours-scale stream: 200 chunks keep the root list bounded and search
+    fast (the tree folds every `interval` roots into a parent)."""
+    tree = make_tree(num_clusters=2, interval=5)
+    for i in range(200):
+        tree.add_chunks([chunk_features(jax.random.key(i), n=2)], [f"c{i}"])
+    counts = tree.counts_by_depth()
+    assert sum(len(n.children) == 0 for n in tree.all_nodes()) == 200  # leaves kept
+    assert len(tree.roots) < 25                 # root list stays compact
+    assert max(counts) >= 3                     # hierarchy deepened
+    import time as _t
+
+    t0 = _t.perf_counter()
+    feats, texts = tree.search(jnp.asarray(hash_embed(["c150"])[0]))
+    assert texts
+    assert _t.perf_counter() - t0 < 5.0

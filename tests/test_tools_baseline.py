@@ -84,3 +84,22 @@ class TestBaseline:
             temperature=0.0, max_new_tokens=4,
         )
         assert isinstance(out, str)
+
+
+class TestVisualize:
+    def test_pca_projection_shape(self):
+        from streamchat_tpu.tools.visualize import pca_project, visualize_memory_features
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(20, 16))
+        p = pca_project(x)
+        assert p.shape == (20, 2)
+        # First PC captures more variance than second.
+        assert p[:, 0].var() >= p[:, 1].var()
+
+        bank = [rng.normal(size=(4, 16)).astype(np.float32) for _ in range(10)]
+        mems = [rng.normal(size=(2, 4, 16)).astype(np.float32) for _ in range(3)]
+        import tempfile, os
+        with tempfile.TemporaryDirectory() as d:
+            out = visualize_memory_features(bank, mems, os.path.join(d, "p.png"))
+        assert out.shape == (10, 2)
