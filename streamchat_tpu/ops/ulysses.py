@@ -1,0 +1,83 @@
+"""Ulysses sequence parallelism: all-to-all head-scatter attention.
+
+The second SP flavor the reference vendors (`UlyssesAttention`,
+vila/train/sequence_parallel/ulysses_attn.py:97, with SeqAllToAll4D over
+NCCL): inputs arrive sequence-sharded [B, H, S/n, D]; an all-to-all
+re-shards them head-wise [B, H/n, S, D] so each device runs ordinary FULL
+attention over its head slice; a second all-to-all restores sequence
+sharding. Exact, two collectives, no online-softmax bookkeeping — the
+trade-off vs ring attention is memory (full S per device) against ring's
+n-step pipeline.
+
+TPU-native: `shard_map` + `jax.lax.all_to_all` over ICI. Composable with
+ring attention over a second mesh axis for USP-style hybrid parallelism
+(reference hybrid_attn.py:60-282) — see tests/test_ulysses.py for the 2x2
+composition.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from streamchat_tpu.ops.attention import _attention_reference
+
+
+def _local_attention(q, k, v, sm_scale, causal):
+    return _attention_reference(q, k, v, causal=causal, sm_scale=sm_scale)
+
+
+def ulysses_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh: Mesh,
+    axis_name: str = "model",
+    *,
+    causal: bool = True,
+    sm_scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Exact attention with sequence sharded over `axis_name`.
+
+    q [B, H, S, D], k/v [B, Hkv, S, D]; S and H (and Hkv) must be divisible
+    by the axis size. Each device exchanges its sequence shard for a head
+    shard, attends over the full sequence, and exchanges back.
+    """
+    if sm_scale is None:
+        sm_scale = q.shape[-1] ** -0.5
+    n = mesh.shape[axis_name]
+    b, h, s, d = q.shape
+    hkv = k.shape[1]
+    if s % n or h % n or hkv % n:
+        raise ValueError(f"S={s}, H={h}, Hkv={hkv} must divide axis {axis_name}={n}")
+
+    seq_spec = P(None, None, axis_name, None)
+
+    def body(q_l, k_l, v_l):
+        # [B, H, S/n, D] -> all-to-all -> [B, H/n, S, D]: scatter heads
+        # (axis 1), gather sequence (axis 2).
+        def scatter(x):
+            return jax.lax.all_to_all(
+                x, axis_name, split_axis=1, concat_axis=2, tiled=True
+            )
+
+        def gather(x):
+            return jax.lax.all_to_all(
+                x, axis_name, split_axis=2, concat_axis=1, tiled=True
+            )
+
+        o = _local_attention(
+            scatter(q_l), scatter(k_l), scatter(v_l), sm_scale, causal
+        )
+        return gather(o)
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(seq_spec, seq_spec, seq_spec),
+        out_specs=seq_spec,
+    )
+    return fn(q, k, v)
