@@ -1,0 +1,108 @@
+"""Full 3-stage driver integration: real mp4 decode -> pipeline CLI ->
+judge CLI -> scoring CLI, with tiny random models.
+
+This is the in-process equivalent of `scripts/inference_streamchat_v0.3.sh`
+end to end — the reference's only integration test was the benchmark run
+itself (SURVEY.md §4.2)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture(scope="module")
+def bench_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("streambench")
+    video_dir = root / "videos" / "Ego"
+    video_dir.mkdir(parents=True)
+    annotations = []
+    for vid in range(2):
+        path = str(video_dir / f"v{vid}.mp4")
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30.0, (64, 64))
+        assert w.isOpened()
+        rng = np.random.default_rng(vid)
+        base = rng.integers(0, 255, (64, 64, 3), np.uint8)
+        for i in range(120):
+            frame = np.roll(base, i, axis=1).copy()
+            frame[:, :, 0] = (frame[:, :, 0].astype(int) + i) % 255
+            w.write(frame)
+        w.release()
+        annotations.append({
+            "info": {"video_path": f"v{vid}.mp4", "class_1": "Ego"},
+            "breakpoint": [
+                {"question": "What moves?", "answer": "stripes", "class": "OCP", "time": 2},
+                {"question": "What changed?", "answer": "colors", "class": "CT", "time": 4},
+            ],
+        })
+    ann_path = root / "annotations.json"
+    ann_path.write_text(json.dumps(annotations))
+    return root
+
+
+def test_three_stage_driver(bench_dir):
+    from streamchat_tpu.eval import judge as judge_mod
+    from streamchat_tpu.eval import scoring as scoring_mod
+    from streamchat_tpu.pipeline import runner as runner_mod
+
+    save_file = str(bench_dir / "results.json")
+    tree_dir = str(bench_dir / "trees")
+
+    # Stage 1: streaming pipeline over real mp4s (tiny random weights).
+    runner_mod.main([
+        "--video_dir", str(bench_dir / "videos"),
+        "--annotations", str(bench_dir / "annotations.json"),
+        "--memory_basic_dir", str(bench_dir / "memories"),
+        "--save_file", save_file,
+        "--sample_rate", "0.5",
+        "--chunk_size", "8",
+        "--num_clusters", "2",
+        "--interval", "2",
+        "--short_window", "6",
+        "--remember_window", "3",
+        "--temperature", "0",
+        "--save_tree_dir", tree_dir,
+    ])
+    results = json.load(open(save_file, encoding="utf-8"))
+    assert len(results) == 4                     # 2 videos x 2 breakpoints
+    assert all(isinstance(r["predict"], str) for r in results)
+    assert os.path.exists(os.path.join(tree_dir, "tree_0.pkl"))
+    assert os.path.exists(str(bench_dir / "memories" / "memory_1.json"))
+
+    # Stage 2: LLaMA-3 judge (tiny random weights), batched.
+    judge_mod.main([
+        "--predict_file", save_file,
+        "--output_dir", str(bench_dir),
+        "--output_name", "merged",
+        "--batch_size", "2",
+    ])
+    judged = scoring_mod.read_jsonl(str(bench_dir / "merged.jsonl"))
+    assert len(judged) == 4
+    assert all("llama_pred" in r and "score" in r for r in judged)
+
+    # Stage 3: score aggregation.
+    scoring_mod.main([
+        "--output_dir", str(bench_dir),
+        "--output_name", "merged",
+    ])
+    res = json.load(open(bench_dir / "merged_res.json", encoding="utf-8"))
+    keys = {k for d in res for k in d}
+    assert keys == {"Yes count", "No count", "Accuracy", "Average score"}
+
+    # Resume semantics: --start skips already-processed annotations.
+    runner_mod.main([
+        "--video_dir", str(bench_dir / "videos"),
+        "--annotations", str(bench_dir / "annotations.json"),
+        "--memory_basic_dir", str(bench_dir / "memories"),
+        "--save_file", save_file,
+        "--sample_rate", "0.5", "--chunk_size", "8",
+        "--num_clusters", "2", "--interval", "2",
+        "--short_window", "6", "--remember_window", "3",
+        "--temperature", "0",
+        "--start", "1",
+    ])
+    resumed = json.load(open(save_file, encoding="utf-8"))
+    assert len(resumed) == 6                     # 4 + video 1 re-run appended
