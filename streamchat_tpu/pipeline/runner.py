@@ -121,6 +121,7 @@ class StreamChatPipeline:
         # leave closing the underlying reader to the caller.
         prefetch = PrefetchReader(reader)
         reader = prefetch
+        short_memory = None
 
         for i, (q, start_s, end_s) in enumerate(segments):
             with timer.phase("ingest"):
@@ -135,7 +136,6 @@ class StreamChatPipeline:
                 ))
             features = dedup_segment(features, self.cfg.video.dedup_threshold)
 
-            short_memory = None
             if features.shape[0] > 0:
                 with timer.phase("memory_update"):
                     tree, short_memory = update_memory(
@@ -143,8 +143,14 @@ class StreamChatPipeline:
                         self._next_key(),
                         cluster_full_chunks=self.cluster_full_chunks,
                     )
+            # An empty segment (e.g. two breakpoints inside the same second)
+            # still gets answered from the PREVIOUS short memory + tree,
+            # like the reference, which only refreshes the buffers when the
+            # bank is non-empty (:876-891). Only a video that starts with an
+            # empty first segment has nothing to answer from.
             if short_memory is None:
-                log.warning("empty segment [%s, %s): skipping question", start_s, end_s)
+                log.warning("segment [%s, %s) empty with no prior memory: "
+                            "skipping question", start_s, end_s)
                 continue
 
             history_prompt = None
@@ -192,6 +198,83 @@ class StreamChatPipeline:
         return results
 
 
+    def process_video_online(
+        self,
+        reader,
+        breakpoints,
+        bank: MemoryBank,
+        user_name: str,
+        save_file: Optional[str] = None,
+    ):
+        """on_line mode: memory updates run CONCURRENTLY with ingest via
+        StreamingSession (the reference's live-demo thread choreography,
+        previous_version/streaming_demo_llava_next_3.py:959-1000). Short
+        memory is a persistent FIFO across the stream here — true streaming
+        semantics — while off_line resets it per segment like the v0.3
+        benchmark path."""
+        from streamchat_tpu.pipeline.streaming import StreamingSession
+
+        session = StreamingSession(
+            self.new_tree(), self._caption, self.cfg.memory,
+            self._next_key(), self.cluster_full_chunks,
+        )
+        memory_index = bank.enter_name(user_name)
+        results = []
+        time_line = [int(q["time"]) for q in breakpoints]
+        frame_line = [0] + time_line
+        try:
+            for q, start_s, end_s in zip(breakpoints, frame_line[:-1], frame_line[1:]):
+                features = encode_segment(
+                    self.model, reader, start_s, end_s,
+                    self.cfg.video, self.cfg.memory.chunk_size,
+                )
+                features = dedup_segment(features, self.cfg.video.dedup_threshold)
+                if features.shape[0] > 0:
+                    session.push(features)
+                session.flush()
+
+                history_prompt = None
+                if memory_index is not None:
+                    date_docs, _ = memory_index.search_memory(
+                        q["question"], self.cfg.retrieval.language
+                    )
+                    if date_docs:
+                        related = "\n" + "\n".join(date_docs).strip() + "\n"
+                        history_prompt = prompts.build_history_prompt(
+                            related, self.cfg.retrieval.language
+                        )
+
+                def answer(short, tree, q=q, history_prompt=history_prompt):
+                    return answer_question(
+                        q["question"], self.model, self.embed_query,
+                        short, tree, history_prompt,
+                        self.cfg.sampling, self.cfg.conv_mode,
+                    )
+
+                try:
+                    res = session.ask(answer)
+                except ValueError:
+                    log.warning("no frames before breakpoint %s: skipping", end_s)
+                    continue
+                record = {
+                    "time": end_s,
+                    "question": q["question"],
+                    "label": q.get("answer"),
+                    "predict": res.output,
+                    "class": q.get("class"),
+                    "process_time": res.process_time,
+                }
+                results.append(record)
+                if save_file:
+                    _append_result(save_file, record)
+                bank.save_local_memory(user_name, q["question"], res.output)
+                memory_index = bank.enter_name(user_name)
+        finally:
+            session.close()
+        self.last_tree = session.tree
+        return results
+
+
 def _append_result(save_file: str, record: dict) -> None:
     """Read-append-rewrite, matching the reference sink (:637, 674-675)."""
     data = []
@@ -215,6 +298,10 @@ def run_inference(pipeline: StreamChatPipeline, args) -> None:
     for count, anno in enumerate(all_annotations):
         if count < args.start:
             continue
+        # Interleaved (not contiguous) annotation sharding: per-video cost
+        # varies wildly, so round-robin balances hosts better than the
+        # judge's ceil-split (which we keep there for reference parity —
+        # eval_video_qa_with_llama3_ours.py:69-75).
         if args.num_chunks > 1 and count % args.num_chunks != args.chunk_idx:
             continue
         memory_path = os.path.join(
@@ -234,7 +321,11 @@ def run_inference(pipeline: StreamChatPipeline, args) -> None:
             continue
         reader = open_video(video_path)
         t0 = time.time()
-        pipeline.process_video(
+        process = (
+            pipeline.process_video_online
+            if args.mode == "on_line" else pipeline.process_video
+        )
+        process(
             reader, anno["breakpoint"], bank, user_name="User",
             save_file=args.save_file,
         )

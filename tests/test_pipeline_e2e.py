@@ -164,3 +164,20 @@ def test_phase_timer():
     assert t.counts["a"] == 2
     assert t.totals["a"] >= 0.01
     assert t.mean("a") > 0
+
+
+def test_process_video_online(tiny_pipeline, tmp_path):
+    """on_line mode: StreamingSession-backed concurrent memory updates."""
+    reader = SyntheticVideoReader(total_frames=150, frame_rate=30.0, height=56, width=56)
+    bank = MemoryBank(
+        str(tmp_path / "memory_online.json"),
+        lambda t: tiny_pipeline.bank_embedder.embed(t),
+    )
+    results = tiny_pipeline.process_video_online(
+        reader, BREAKPOINTS, bank, user_name="User",
+        save_file=str(tmp_path / "online.json"),
+    )
+    assert len(results) == 2
+    assert all(isinstance(r["predict"], str) for r in results)
+    # Tree persisted for inspection; grew across segments.
+    assert len(tiny_pipeline.last_tree) >= 1
