@@ -59,7 +59,13 @@ class HFTokenizer:
         self.vocab_size = len(self._tok)
 
     def encode(self, text: str) -> List[int]:
-        return self._tok(text).input_ids
+        # Prompts in this framework carry their special tokens explicitly
+        # (ChatML <|im_start|>, the judge's <|begin_of_text|> header); letting
+        # the tokenizer inject its own BOS would double them (LLaMA-3's
+        # tokenizer adds BOS by default — the reference's hand-built judge
+        # prompt relies on encode-with-specials NOT adding a second one only
+        # because it passes the full string through tokenizer() once).
+        return self._tok(text, add_special_tokens=False).input_ids
 
     def decode(self, ids: Sequence[int]) -> str:
         return self._tok.decode([i for i in ids if i >= 0], skip_special_tokens=True)

@@ -179,3 +179,35 @@ class TestSampling:
                 )[0]
             )
             assert t in (0, 1)
+
+
+def test_forgetting_sampler_distribution(key):
+    """Empirical inclusion frequency tracks the Ebbinghaus weights (the
+    seeded-mode distributional equivalence SURVEY.md §7(e) calls for —
+    np.random.choice(replace=False) and Gumbel-top-k share marginals only
+    approximately, so we check ordering + correlation, not exact equality)."""
+    import numpy as np
+
+    from streamchat_tpu.ops.forgetting import (
+        forgetting_probabilities,
+        sample_without_replacement,
+    )
+
+    w, r, tau = 12, 4, 5.0
+    probs = forgetting_probabilities(w, tau)
+    counts = np.zeros(w)
+    trials = 400
+    keys = jax.random.split(key, trials)
+    for k in keys:
+        idx = np.asarray(sample_without_replacement(k, probs, r))
+        assert len(set(idx.tolist())) == r          # without replacement
+        counts[idx] += 1
+    freq = counts / trials
+    p = np.asarray(probs)
+    # Oldest (highest-retention) position sampled most; newest least.
+    assert freq[0] == freq.max()
+    assert freq[0] > freq[-1] * 1.5
+    # Monotone trend matches the weight ordering (rank correlation > 0.9).
+    rank_corr = np.corrcoef(np.argsort(np.argsort(freq)),
+                            np.argsort(np.argsort(p)))[0, 1]
+    assert rank_corr > 0.9
