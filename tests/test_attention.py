@@ -72,3 +72,18 @@ def test_flash_autopad_ragged_lengths(key):
     ref = _attention_reference(q, k, v, causal=False, sm_scale=d**-0.5)
     assert out.shape == (b, h, s, d)
     assert jnp.max(jnp.abs(out - ref)) < 2e-3
+
+
+def test_vit_attention_matches_reference(key):
+    from streamchat_tpu.ops.attention import _attention_reference
+    from streamchat_tpu.ops.vit_attention import vit_attention
+
+    n, h, s, d = 6, 4, 77, 32    # unaligned S and N exercise the padding
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (n, h, s, d))
+    k = jax.random.normal(kk, (n, h, s, d))
+    v = jax.random.normal(kv, (n, h, s, d))
+    out = vit_attention(q, k, v, block_n=4, interpret=True)
+    ref = _attention_reference(q, k, v, causal=False, sm_scale=d**-0.5)
+    assert out.shape == (n, h, s, d)
+    assert jnp.max(jnp.abs(out - ref)) < 2e-3
