@@ -184,9 +184,6 @@ class VisualMemoryTree:
         visited level); empty lists when the tree has no summarized roots and
         no depth-0 leftovers.
         """
-        path_features: List[jnp.ndarray] = []
-        path_text: List[str] = []
-        redundant: List[MemoryTreeNode] = []
         q = jnp.asarray(query_emb)[None]                     # [1, E]
 
         def best(nodes: Sequence[MemoryTreeNode]) -> int:
@@ -197,46 +194,10 @@ class VisualMemoryTree:
             idx = int(np.argmax(sims))
             return idx if sims[idx] > 0 else 0
 
-        for root in self.roots:
-            if root.depth == 0:
-                redundant.append(root)
-                continue
-            node = root
-            while node.children:
-                i = best(node.children)
-                node = node.children[i]
-                path_features.append(node.centroids)
-                path_text.append(node.text)
+        return self._descend(best)
 
-        if redundant:
-            i = best(redundant)
-            path_features.append(redundant[i].centroids)
-            path_text.append(redundant[i].text)
-
-        return path_features, path_text
-
-    def search_maxsim(
-        self, query_token_emb: jnp.ndarray
-    ) -> Tuple[List[jnp.ndarray], List[str]]:
-        """Greedy descent scored by ColBERT MaxSim over cached token
-        embeddings (upgrade path over CLS pooling; ops/retrieval.maxsim_score).
-
-        query_token_emb: [Tq, E] unpadded question token embeddings.
-        Requires the tree to have been built with embed_tokens_fn.
-        """
-        from streamchat_tpu.ops.retrieval import maxsim_score
-
-        q = jnp.asarray(query_token_emb)
-
-        def best(nodes: Sequence[MemoryTreeNode]) -> int:
-            scores = []
-            for n in nodes:
-                if n.token_emb is None:
-                    raise ValueError("tree built without embed_tokens_fn")
-                s = maxsim_score(q, jnp.asarray(n.token_emb)[None])
-                scores.append(float(s[0]))
-            return int(np.argmax(scores))
-
+    def _descend(self, best) -> Tuple[List[jnp.ndarray], List[str]]:
+        """Shared greedy multi-root descent; `best(nodes) -> index`."""
         path_features: List[jnp.ndarray] = []
         path_text: List[str] = []
         redundant: List[MemoryTreeNode] = []
@@ -254,6 +215,41 @@ class VisualMemoryTree:
             path_features.append(redundant[i].centroids)
             path_text.append(redundant[i].text)
         return path_features, path_text
+
+    def search_maxsim(
+        self, query_token_emb: jnp.ndarray
+    ) -> Tuple[List[jnp.ndarray], List[str]]:
+        """Greedy descent scored by ColBERT MaxSim over cached token
+        embeddings (upgrade path over CLS pooling; ops/retrieval.maxsim_score).
+
+        query_token_emb: [Tq, E] unpadded question token embeddings.
+        Requires the tree to have been built with embed_tokens_fn. Each
+        level's candidates are padded to a common token count and scored in
+        ONE maxsim_score call (a per-node dispatch costs 50-90 ms through
+        the remote-TPU tunnel).
+        """
+        from streamchat_tpu.ops.retrieval import maxsim_score
+
+        q = jnp.asarray(query_token_emb)
+
+        def best(nodes: Sequence[MemoryTreeNode]) -> int:
+            embs = []
+            for n in nodes:
+                if n.token_emb is None:
+                    raise ValueError("tree built without embed_tokens_fn")
+                embs.append(np.asarray(n.token_emb))
+            td = max(e.shape[0] for e in embs)
+            # Zero-pad to a common token count: zero rows l2-normalize to
+            # zero vectors, so each padded row contributes similarity 0 to
+            # the per-query max (it can only win over all-negative real
+            # sims, which ties all candidates equally).
+            batch = np.zeros((len(embs), td, embs[0].shape[1]), np.float32)
+            for i, e in enumerate(embs):
+                batch[i, : e.shape[0]] = e
+            scores = np.asarray(maxsim_score(q, jnp.asarray(batch)))
+            return int(np.argmax(scores))
+
+        return self._descend(best)
 
     def search_features(self, query_feats: jnp.ndarray) -> List[jnp.ndarray]:
         """Feature-space greedy descent (uni-modal variant).
@@ -334,8 +330,10 @@ class VisualMemoryTree:
         embed_fn: EmbedFn,
         summarize_fn: SummarizeFn,
         merge_fn: MergeFn,
+        embed_tokens_fn=None,
     ) -> "VisualMemoryTree":
-        tree = cls(num_clusters, interval, embed_fn, summarize_fn, merge_fn)
+        tree = cls(num_clusters, interval, embed_fn, summarize_fn, merge_fn,
+                   embed_tokens_fn=embed_tokens_fn)
 
         def unpack(d: dict) -> MemoryTreeNode:
             return MemoryTreeNode(

@@ -243,7 +243,8 @@ class LongVA:
         llava_llama.py:99; probed by utiles.py:1375-1561)."""
         from streamchat_tpu.models.scoring import sequence_nll
 
-        target_ids = self.tokenizer.encode(target)
+        # The target is a mid-sequence continuation: no BOS/specials.
+        target_ids = self.tokenizer.encode(target, add_special_tokens=False)
         embeds, length = self.splice_prompt(prompt, image_embeddings)
         nll = sequence_nll(
             self.dec_params, self.dec_cfg, embeds, length,

@@ -82,7 +82,9 @@ class TextLM:
         if not prompts:
             return []
         dtype = self.params["embed"].dtype
-        ids = [self.tokenizer.encode(p) for p in prompts]
+        # Judge/chat prompts carry explicit special tokens (the hand-built
+        # <|begin_of_text|> header) — never let the tokenizer add a 2nd BOS.
+        ids = [self.tokenizer.encode(p, add_special_tokens=False) for p in prompts]
         lengths = [len(i) for i in ids]
         padded = genlib.pad_to_bucket(max(lengths))
         b = len(prompts)

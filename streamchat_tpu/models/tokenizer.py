@@ -20,7 +20,7 @@ DEFAULT_IM_END_TOKEN = "<im_end>"
 
 
 class Tokenizer(Protocol):
-    def encode(self, text: str) -> List[int]: ...
+    def encode(self, text: str, add_special_tokens: bool = True) -> List[int]: ...
     def decode(self, ids: Sequence[int]) -> str: ...
     @property
     def eos_ids(self) -> tuple: ...
@@ -38,7 +38,7 @@ class ByteTokenizer:
     def __init__(self) -> None:
         self.vocab_size = 258
 
-    def encode(self, text: str) -> List[int]:
+    def encode(self, text: str, add_special_tokens: bool = True) -> List[int]:
         return list(text.encode("utf-8"))
 
     def decode(self, ids: Sequence[int]) -> str:
@@ -58,14 +58,12 @@ class HFTokenizer:
         self._tok = AutoTokenizer.from_pretrained(path, use_fast=True)
         self.vocab_size = len(self._tok)
 
-    def encode(self, text: str) -> List[int]:
-        # Prompts in this framework carry their special tokens explicitly
-        # (ChatML <|im_start|>, the judge's <|begin_of_text|> header); letting
-        # the tokenizer inject its own BOS would double them (LLaMA-3's
-        # tokenizer adds BOS by default — the reference's hand-built judge
-        # prompt relies on encode-with-specials NOT adding a second one only
-        # because it passes the full string through tokenizer() once).
-        return self._tok(text, add_special_tokens=False).input_ids
+    def encode(self, text: str, add_special_tokens: bool = True) -> List[int]:
+        # Default True: BERT embedders NEED [CLS]/[SEP] for CLS/mean pooling.
+        # Decoder-side callers whose prompts carry explicit specials (ChatML
+        # <|im_start|>, the judge's <|begin_of_text|> header) pass False —
+        # LLaMA-3's tokenizer would otherwise inject a second BOS.
+        return self._tok(text, add_special_tokens=add_special_tokens).input_ids
 
     def decode(self, ids: Sequence[int]) -> str:
         return self._tok.decode([i for i in ids if i >= 0], skip_special_tokens=True)
@@ -101,5 +99,9 @@ def tokenize_with_image_token(
         if i > 0:
             ids.append(image_token_index)
         if chunk:
-            ids.extend(tokenizer.encode(chunk))
+            # ChatML prompts carry their specials in-text; per-chunk BOS
+            # injection would corrupt the splice (the reference handles the
+            # same hazard with an explicit BOS-offset dance,
+            # mm_utils.py:341-360; Qwen2 adds no specials either way).
+            ids.extend(tokenizer.encode(chunk, add_special_tokens=False))
     return ids

@@ -9,10 +9,11 @@ sharding. Exact, two collectives, no online-softmax bookkeeping — the
 trade-off vs ring attention is memory (full S per device) against ring's
 n-step pipeline.
 
-TPU-native: `shard_map` + `jax.lax.all_to_all` over ICI. Composable with
-ring attention over a second mesh axis for USP-style hybrid parallelism
-(reference hybrid_attn.py:60-282) — see tests/test_ulysses.py for the 2x2
-composition.
+TPU-native: `shard_map` + `jax.lax.all_to_all` over ICI. Both SP flavors
+run on independent axes of one 2-axis mesh (tests/test_ulysses.py validates
+each against the reference on a 2x2 (data, model) mesh); a NESTED
+ring-inside-ulysses composition (the reference's USP, hybrid_attn.py:60-282)
+is not implemented yet — tracked in PARITY.md.
 """
 
 from __future__ import annotations
@@ -52,7 +53,10 @@ def ulysses_attention(
     b, h, s, d = q.shape
     hkv = k.shape[1]
     if s % n or h % n or hkv % n:
-        raise ValueError(f"S={s}, H={h}, Hkv={hkv} must divide axis {axis_name}={n}")
+        raise ValueError(
+            f"S={s}, H={h}, Hkv={hkv} must each be divisible by axis "
+            f"{axis_name}={n}"
+        )
 
     seq_spec = P(None, None, axis_name, None)
 

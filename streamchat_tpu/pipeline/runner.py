@@ -153,16 +153,7 @@ class StreamChatPipeline:
                             "skipping question", start_s, end_s)
                 continue
 
-            history_prompt = None
-            if memory_index is not None:
-                date_docs, _ = memory_index.search_memory(
-                    q["question"], self.cfg.retrieval.language
-                )
-                if date_docs:
-                    related = "\n" + "\n".join(date_docs).strip() + "\n"
-                    history_prompt = prompts.build_history_prompt(
-                        related, self.cfg.retrieval.language
-                    )
+            history_prompt = self._history_prompt(memory_index, q["question"])
 
             with timer.phase("answer"):
                 res = answer_question(
@@ -175,27 +166,46 @@ class StreamChatPipeline:
                     self.cfg.sampling,
                     self.cfg.conv_mode,
                 )
-            record = {
-                "time": end_s,
-                "question": q["question"],
-                "label": q.get("answer"),
-                "predict": res.output,
-                "class": q.get("class"),
-                "process_time": res.process_time,
-            }
-            results.append(record)
-            if save_file:
-                _append_result(save_file, record)
-
-            # Dialogue write-back + re-index (reference :913-924).
-            bank.save_local_memory(user_name, q["question"], res.output)
-            memory_index = bank.enter_name(user_name)
+            memory_index = self._record_and_store(
+                results, q, end_s, res, bank, user_name, save_file
+            )
         prefetch.stop()
         log.info("phase totals (s): %s", {
             k: round(v, 2) for k, v in timer.summary().items()
         })
         self.last_tree = tree   # exposed for persistence / inspection
         return results
+
+    def _history_prompt(self, memory_index, question: str):
+        """Retrieved-dialogue meta prompt (reference :647 + utiles.py:1057)."""
+        if memory_index is None:
+            return None
+        date_docs, _ = memory_index.search_memory(
+            question, self.cfg.retrieval.language
+        )
+        if not date_docs:
+            return None
+        related = "\n" + "\n".join(date_docs).strip() + "\n"
+        return prompts.build_history_prompt(related, self.cfg.retrieval.language)
+
+    def _record_and_store(
+        self, results, q, end_s, res, bank, user_name, save_file
+    ):
+        """Result-sink append + dialogue write-back/re-index (reference
+        :637-675, :913-924). Returns the refreshed memory index."""
+        record = {
+            "time": end_s,
+            "question": q["question"],
+            "label": q.get("answer"),
+            "predict": res.output,
+            "class": q.get("class"),
+            "process_time": res.process_time,
+        }
+        results.append(record)
+        if save_file:
+            _append_result(save_file, record)
+        bank.save_local_memory(user_name, q["question"], res.output)
+        return bank.enter_name(user_name)
 
 
     def process_video_online(
@@ -233,16 +243,7 @@ class StreamChatPipeline:
                     session.push(features)
                 session.flush()
 
-                history_prompt = None
-                if memory_index is not None:
-                    date_docs, _ = memory_index.search_memory(
-                        q["question"], self.cfg.retrieval.language
-                    )
-                    if date_docs:
-                        related = "\n" + "\n".join(date_docs).strip() + "\n"
-                        history_prompt = prompts.build_history_prompt(
-                            related, self.cfg.retrieval.language
-                        )
+                history_prompt = self._history_prompt(memory_index, q["question"])
 
                 def answer(short, tree, q=q, history_prompt=history_prompt):
                     return answer_question(
@@ -251,24 +252,17 @@ class StreamChatPipeline:
                         self.cfg.sampling, self.cfg.conv_mode,
                     )
 
-                try:
-                    res = session.ask(answer)
-                except ValueError:
+                # Only the genuinely-empty-stream case skips; worker errors
+                # must surface (a bare except here once swallowed captioner
+                # failures as "no frames").
+                if len(session.short_term) == 0:
+                    session.sync()   # re-raise any pending worker error
                     log.warning("no frames before breakpoint %s: skipping", end_s)
                     continue
-                record = {
-                    "time": end_s,
-                    "question": q["question"],
-                    "label": q.get("answer"),
-                    "predict": res.output,
-                    "class": q.get("class"),
-                    "process_time": res.process_time,
-                }
-                results.append(record)
-                if save_file:
-                    _append_result(save_file, record)
-                bank.save_local_memory(user_name, q["question"], res.output)
-                memory_index = bank.enter_name(user_name)
+                res = session.ask(answer)
+                memory_index = self._record_and_store(
+                    results, q, end_s, res, bank, user_name, save_file
+                )
         finally:
             session.close()
         self.last_tree = session.tree

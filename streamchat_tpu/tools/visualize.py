@@ -50,19 +50,20 @@ def visualize_memory_features(
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
-
-        fig, ax = plt.subplots(figsize=(6, 5))
-        ax.scatter(frame_xy[:, 0], frame_xy[:, 1],
-                   c=np.arange(len(frames)), cmap="viridis", s=12,
-                   label="frames (time-colored)")
-        if mems is not None:
-            mem_xy = proj[len(frames):]
-            ax.scatter(mem_xy[:, 0], mem_xy[:, 1], marker="x", c="red",
-                       s=60, label="memory centroids")
-        ax.legend()
-        ax.set_title("memory features (PCA)")
-        fig.savefig(save_path, dpi=120, bbox_inches="tight")
-        plt.close(fig)
-    except Exception:  # matplotlib missing/headless failure: projection only
-        pass
+    except ImportError:
+        # Plotting is optional; the projection is still returned. Real save
+        # errors (bad path, disk full) below DO propagate.
+        return frame_xy
+    fig, ax = plt.subplots(figsize=(6, 5))
+    ax.scatter(frame_xy[:, 0], frame_xy[:, 1],
+               c=np.arange(len(frames)), cmap="viridis", s=12,
+               label="frames (time-colored)")
+    if mems is not None:
+        mem_xy = proj[len(frames):]
+        ax.scatter(mem_xy[:, 0], mem_xy[:, 1], marker="x", c="red",
+                   s=60, label="memory centroids")
+    ax.legend()
+    ax.set_title("memory features (PCA)")
+    fig.savefig(save_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
     return frame_xy

@@ -34,10 +34,10 @@ def test_ulysses_rejects_indivisible(mesh):
         ulysses_attention(q, q, q, mesh, "model")
 
 
-def test_usp_hybrid_ring_times_ulysses(key):
-    """USP composition (reference hybrid_attn.py): ulysses over one mesh
-    axis inside ring over the other. Here: ulysses over 'model' (2), ring
-    over 'data' (2), on a 2x2 submesh — sequence sharded over BOTH axes."""
+def test_sp_flavors_coexist_on_two_axis_mesh(key):
+    """Both SP flavors validated independently on one 2x2 (data, model)
+    mesh. A NESTED ring-inside-ulysses (USP) composition is tracked as a
+    known gap in PARITY.md."""
     import numpy as _np
     from jax.sharding import Mesh
 
