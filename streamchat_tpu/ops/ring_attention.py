@@ -87,12 +87,13 @@ def _ring_body(axis_name: str, causal: bool, sm_scale: float,
         return (k_blk, v_blk, k_idx, acc, new_m, l), None
 
     b, h, sq, d = q.shape
-    acc0 = jnp.zeros((b, h, sq, d), jnp.float32)
-    m0 = jnp.full((b, h, sq), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((b, h, sq), jnp.float32)
-    # Mark the fresh accumulators as device-varying so the scan carry type
-    # matches the (varying) outputs under shard_map's per-axis type system.
-    acc0, m0, l0 = jax.lax.pvary((acc0, m0, l0), (axis_name,))
+    # Derive the fresh accumulators from q so they inherit ALL of q's
+    # device-varying axes (ring alone, or ring x ulysses under USP) — the
+    # scan carry type must match the varying outputs under shard_map's
+    # per-axis type system.
+    acc0 = (q * 0).astype(jnp.float32)
+    m0 = (q[..., 0] * 0).astype(jnp.float32) + NEG_INF
+    l0 = (q[..., 0] * 0).astype(jnp.float32)
     carry = (k, v, my_idx, acc0, m0, l0)
     carry, _ = jax.lax.scan(step_fn, carry, None, length=n_dev)
     _, _, _, acc, m, l = carry

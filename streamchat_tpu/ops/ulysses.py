@@ -9,11 +9,9 @@ sharding. Exact, two collectives, no online-softmax bookkeeping — the
 trade-off vs ring attention is memory (full S per device) against ring's
 n-step pipeline.
 
-TPU-native: `shard_map` + `jax.lax.all_to_all` over ICI. Both SP flavors
-run on independent axes of one 2-axis mesh (tests/test_ulysses.py validates
-each against the reference on a 2x2 (data, model) mesh); a NESTED
-ring-inside-ulysses composition (the reference's USP, hybrid_attn.py:60-282)
-is not implemented yet — tracked in PARITY.md.
+TPU-native: `shard_map` + `jax.lax.all_to_all` over ICI. `usp_attention`
+below nests ring attention inside the ulysses head scatter — the
+reference's USP hybrid (hybrid_attn.py:60-282) with sp = ring x ulysses.
 """
 
 from __future__ import annotations
@@ -75,6 +73,75 @@ def ulysses_attention(
 
         o = _local_attention(
             scatter(q_l), scatter(k_l), scatter(v_l), sm_scale, causal
+        )
+        return gather(o)
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(seq_spec, seq_spec, seq_spec),
+        out_specs=seq_spec,
+    )
+    return fn(q, k, v)
+
+
+def usp_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh: Mesh,
+    ulysses_axis: str = "model",
+    ring_axis: str = "data",
+    *,
+    causal: bool = True,
+    sm_scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """USP hybrid: ring attention nested inside Ulysses (sp = ring x ulysses).
+
+    Rebuild of the reference's `HybridAttention`
+    (vila/train/sequence_parallel/hybrid_attn.py:60-282; degrees configured
+    as sp_degree = ring_size x ulysses_size, globals.py:40-130). The global
+    sequence is sharded over BOTH axes — primarily into ring blocks, each
+    ring block sub-sharded over the ulysses axis. The body first all-to-alls
+    heads<->sequence over the ulysses axis (each device then holds its full
+    ring block for H/nu heads), then runs the ppermute ring over the ring
+    axis with global causal offsets.
+    """
+    from streamchat_tpu.ops.ring_attention import _ring_body
+
+    if sm_scale is None:
+        sm_scale = q.shape[-1] ** -0.5
+    nu = mesh.shape[ulysses_axis]
+    nr = mesh.shape[ring_axis]
+    b, h, s, d = q.shape
+    hkv = k.shape[1]
+    if s % (nu * nr) or h % nu or hkv % nu:
+        raise ValueError(
+            f"S={s} must be divisible by ring*ulysses={nr * nu}; H={h}, "
+            f"Hkv={hkv} by ulysses={nu}"
+        )
+    ring_block = s // nr
+
+    # Sequence sharded ring-major then ulysses-minor: (ring, ulysses) both
+    # partition axis 2.
+    seq_spec = P(None, None, (ring_axis, ulysses_axis), None)
+
+    def body(q_l, k_l, v_l):
+        def scatter(x):   # heads <-> sequence within the ring block
+            return jax.lax.all_to_all(
+                x, ulysses_axis, split_axis=1, concat_axis=2, tiled=True
+            )
+
+        def gather(x):
+            return jax.lax.all_to_all(
+                x, ulysses_axis, split_axis=2, concat_axis=1, tiled=True
+            )
+
+        qs, ks, vs = scatter(q_l), scatter(k_l), scatter(v_l)
+        my_ring = jax.lax.axis_index(ring_axis)
+        q_offset = my_ring * ring_block
+        o = _ring_body(
+            ring_axis, causal, sm_scale, qs, ks, vs, q_offset, ring_block
         )
         return gather(o)
 

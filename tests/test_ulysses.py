@@ -63,3 +63,43 @@ def test_sp_flavors_coexist_on_two_axis_mesh(key):
     ref = _attention_reference(q, k, v, causal=False, sm_scale=d**-0.5)
     np.testing.assert_allclose(np.asarray(out_u), np.asarray(ref), atol=2e-5)
     np.testing.assert_allclose(np.asarray(out_r), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_usp_nested_matches_reference(causal, key):
+    """TRUE nested composition: ring attention inside a ulysses head
+    scatter on a 2x2 (ring=data, ulysses=model) mesh."""
+    import numpy as _np
+    from jax.sharding import Mesh
+
+    from streamchat_tpu.ops.ulysses import usp_attention
+
+    devices = _np.asarray(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devices, ("data", "model"))
+    b, h, s, d = 2, 4, 64, 16
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, h, s, d))
+    k = jax.random.normal(kk, (b, h, s, d))
+    v = jax.random.normal(kv, (b, h, s, d))
+    out = usp_attention(q, k, v, mesh, "model", "data", causal=causal)
+    ref = _attention_reference(q, k, v, causal=causal, sm_scale=d**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_usp_eight_devices(key):
+    """4-way ring x 2-way ulysses over all 8 CPU-mesh devices."""
+    import numpy as _np
+    from jax.sharding import Mesh
+
+    from streamchat_tpu.ops.ulysses import usp_attention
+
+    devices = _np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, ("ring", "uly"))
+    b, h, s, d = 1, 4, 128, 8
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, h, s, d))
+    k = jax.random.normal(kk, (b, h, s, d))
+    v = jax.random.normal(kv, (b, h, s, d))
+    out = usp_attention(q, k, v, mesh, "uly", "ring", causal=True)
+    ref = _attention_reference(q, k, v, causal=True, sm_scale=d**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
