@@ -20,6 +20,8 @@ from streamchat_tpu.ops.optical_flow import (
 )
 from streamchat_tpu.ops.pooling import compress_spatial_features, pool_patch_grid
 from streamchat_tpu.ops.ring_attention import ring_attention
+from streamchat_tpu.ops.ulysses import ulysses_attention, usp_attention
+from streamchat_tpu.ops.vit_attention import vit_attention
 from streamchat_tpu.ops.retrieval import (
     cosine_scores,
     cosine_topk,
@@ -44,6 +46,9 @@ __all__ = [
     "grayscale",
     "keep_frames_optical_flow",
     "ring_attention",
+    "ulysses_attention",
+    "usp_attention",
+    "vit_attention",
     "frame_descriptors",
     "select_changed_frames",
     "ssim_pairs",
