@@ -149,3 +149,57 @@ def compress_kv(
         )
 
     return k_kept, v_kept, s_kept, jnp.minimum(length, c).astype(jnp.int32)
+
+
+def compress_cache(
+    cache,
+    probe_queries: jnp.ndarray,
+    *,
+    hh_size: int,
+    recent_size: int,
+    sink_size: int = 0,
+    merge: Optional[str] = None,
+):
+    """Compress a whole decoder KVCache between generation rounds.
+
+    cache: models/decoder.KVCache (k/v [L, B, Hkv, Lmax, Dh]); only B=1 is
+    supported (the streaming pipeline decodes one conversation at a time).
+    probe_queries: [L, Hkv*G, Q, Dh] recent per-layer query activations used
+    to score slots (attention_mass); when the caller has no saved queries,
+    passing the last decoded K works as a proxy.
+
+    Returns a KVCache of the same Lmax whose first kept_length slots are the
+    surviving KV (compacted in place) — shape-stable, so a jitted decode
+    loop continues against it unchanged.
+    """
+    from streamchat_tpu.models.decoder import KVCache
+
+    L, b, hkv, lmax, dh = cache.k.shape
+    if b != 1:
+        raise ValueError("compress_cache supports batch 1")
+    g = probe_queries.shape[1] // hkv
+    new_k = []
+    new_v = []
+    kept_len = None
+    for layer in range(L):
+        k_l = cache.k[layer, 0]                        # [Hkv, Lmax, Dh]
+        v_l = cache.v[layer, 0]
+        q_l = probe_queries[layer]                     # [Hq, Q, Dh]
+        # Score per KV head: sum the mass of its query group.
+        mass = attention_mass(q_l, jnp.repeat(k_l, g, axis=0), cache.length[0])
+        mass = mass.reshape(hkv, g, lmax).sum(axis=1)  # [Hkv, Lmax]
+        k2, v2, _, kept = compress_kv(
+            k_l, v_l, mass, cache.length[0],
+            hh_size=hh_size, recent_size=recent_size,
+            sink_size=sink_size, merge=merge,
+        )
+        c = k2.shape[1]
+        k_out = jnp.zeros_like(k_l).at[:, :c].set(k2)
+        v_out = jnp.zeros_like(v_l).at[:, :c].set(v2)
+        new_k.append(k_out[None])
+        new_v.append(v_out[None])
+        kept_len = kept
+    return KVCache(
+        k=jnp.stack(new_k), v=jnp.stack(new_v),
+        length=kept_len[None].astype(jnp.int32),
+    )

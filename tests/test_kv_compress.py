@@ -101,3 +101,37 @@ def test_runtime_length_below_capacity_identity():
     )
     assert int(kept) == 10
     np.testing.assert_allclose(np.asarray(k2[:, :10]), np.asarray(k[:, :10]))
+
+
+def test_compress_cache_then_decode_continues():
+    """End-to-end recipe: prefill -> compress the whole KVCache -> keep
+    decoding against the compacted (shape-stable) cache."""
+    from streamchat_tpu.config import DecoderConfig
+    from streamchat_tpu.models import decoder
+    from streamchat_tpu.models.decoder import KVCache
+    from streamchat_tpu.ops.kv_compress import compress_cache
+
+    cfg = DecoderConfig.tiny()
+    params = decoder.init(jax.random.key(0), cfg, jnp.float32)
+    s, extra = 64, 8
+    ids = jax.random.randint(jax.random.key(1), (1, s), 0, cfg.vocab_size)
+    embeds = decoder.embed_tokens(params, ids)
+    cache = KVCache.create(cfg, 1, s + extra, dtype=jnp.float32)
+    logits, cache = decoder.prefill(
+        params, cfg, embeds, cache, jnp.array([s], jnp.int32)
+    )
+    assert int(cache.length[0]) == s
+
+    probe = jax.random.normal(
+        jax.random.key(2), (cfg.num_layers, cfg.num_heads, 4, cfg.head_dim)
+    )
+    small = compress_cache(cache, probe, hh_size=8, recent_size=16, sink_size=4)
+    assert small.k.shape == cache.k.shape            # shape-stable
+    assert int(small.length[0]) == 28                # sink+hh+recent
+
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    for _ in range(3):
+        logits2, small = decoder.decode_step(params, cfg, tok, small)
+        tok = jnp.argmax(logits2, -1).astype(jnp.int32)
+    assert int(small.length[0]) == 31
+    assert np.all(np.isfinite(np.asarray(logits2)))
