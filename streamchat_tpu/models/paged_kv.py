@@ -148,6 +148,94 @@ def advance(cache: PagedKVCache, tokens: jnp.ndarray) -> PagedKVCache:
     return cache._replace(length=cache.length + tokens)
 
 
+def from_contiguous(
+    cache,
+    num_pages: int,
+    max_pages_per_seq: int,
+    page_size: int = 128,
+) -> "PagedKVCache":
+    """Import a prefilled contiguous decoder KVCache into pages.
+
+    Prefill runs on the contiguous cache (dense writes are cheapest there);
+    serving then continues page-granular. Lmax must be a multiple of
+    page_size; each row's pages are claimed sequentially.
+    """
+    l, b, hkv, lmax, dh = cache.k.shape
+    if lmax % page_size:
+        raise ValueError(f"Lmax={lmax} not a multiple of page_size={page_size}")
+    pages_per_row = lmax // page_size
+    if pages_per_row > max_pages_per_seq:
+        raise ValueError("max_pages_per_seq too small for the source cache")
+    if b * pages_per_row > num_pages:
+        raise ValueError("page pool too small for the source cache")
+    # [L, B, Hkv, Lmax, Dh] -> [L, B*pages_per_row, Hkv, page_size, Dh]
+    def repage(x):
+        x = x.reshape(l, b, hkv, pages_per_row, page_size, dh)
+        x = x.transpose(0, 1, 3, 2, 4, 5)
+        return x.reshape(l, b * pages_per_row, hkv, page_size, dh)
+
+    k_pages = jnp.zeros((l, num_pages, hkv, page_size, dh), cache.k.dtype)
+    v_pages = jnp.zeros_like(k_pages)
+    k_pages = k_pages.at[:, : b * pages_per_row].set(repage(cache.k))
+    v_pages = v_pages.at[:, : b * pages_per_row].set(repage(cache.v))
+    table = jnp.full((b, max_pages_per_seq), -1, jnp.int32)
+    row_pages = (
+        jnp.arange(b)[:, None] * pages_per_row + jnp.arange(pages_per_row)[None]
+    )
+    table = table.at[:, :pages_per_row].set(row_pages)
+    return PagedKVCache(
+        k_pages=k_pages,
+        v_pages=v_pages,
+        page_table=table,
+        # Fresh buffer: the source cache's arrays may be donated to a later
+        # decode_step, which would invalidate a shared `length` reference.
+        length=cache.length + 0,
+        next_free=jnp.asarray(b * pages_per_row, jnp.int32),
+    )
+
+
+def decode_step_paged(params, cfg, token_ids: jnp.ndarray, cache: "PagedKVCache"):
+    """One decode step against a paged cache -> (logits [B, V], cache).
+
+    The paged twin of models/decoder.decode_step: per layer, the new token's
+    K/V append into the tail page and attention gathers through the page
+    table. Pages for the new token must already be mapped
+    (allocate_pages(cache, ones) before calling).
+    """
+    from streamchat_tpu.models import decoder
+
+    b = token_ids.shape[0]
+    x = decoder.embed_tokens(params, token_ids)[:, None, :]
+    positions = cache.length[:, None]
+    hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    for i, p in enumerate(params["layers"]):
+        h = decoder.rmsnorm(x, p["input_norm"], cfg.rms_eps)
+        q = decoder._proj(h, p["attn"]["q"]).reshape(b, 1, hq, dh).transpose(0, 2, 1, 3)
+        k = decoder._proj(h, p["attn"]["k"]).reshape(b, 1, hkv, dh).transpose(0, 2, 1, 3)
+        v = decoder._proj(h, p["attn"]["v"]).reshape(b, 1, hkv, dh).transpose(0, 2, 1, 3)
+        q = decoder.rope(q, positions, cfg.rope_theta)
+        k = decoder.rope(k, positions, cfg.rope_theta)
+        cache = append_token_kv(
+            cache, jnp.asarray(i), k[:, :, 0], v[:, :, 0]
+        )
+        o = paged_decode_attention(
+            q, cache.k_pages[i], cache.v_pages[i],
+            cache.page_table, cache.length + 1,
+        )
+        o = o.transpose(0, 2, 1, 3).reshape(b, 1, hq * dh)
+        x = x + decoder._proj(o, p["attn"]["o"])
+        hmid = decoder.rmsnorm(x, p["post_norm"], cfg.rms_eps)
+        gated = jax.nn.silu(
+            (hmid @ p["mlp"]["gate"]).astype(jnp.float32)
+        ).astype(hmid.dtype)
+        x = x + (gated * (hmid @ p["mlp"]["up"])) @ p["mlp"]["down"]
+
+    x = decoder.rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    logits = decoder.logits_from_hidden(params, cfg, x)[:, 0]
+    return logits, advance(cache, jnp.ones((b,), jnp.int32))
+
+
 @functools.partial(jax.jit, static_argnames=("sm_scale",))
 def paged_decode_attention(
     q: jnp.ndarray,           # [B, H, 1, Dh]

@@ -106,3 +106,44 @@ def test_allocate_overflow_raises(cfg):
                                 max_pages_per_seq=2, page_size=4)
     with pytest.raises(ValueError, match="overflow"):
         allocate_pages(cache, jnp.array([100]))
+
+
+def test_paged_generation_matches_contiguous(cfg, key):
+    """Prefill contiguous -> import to pages -> paged greedy decode must
+    reproduce the contiguous decode_step token stream exactly."""
+    from streamchat_tpu.models import decoder
+    from streamchat_tpu.models.decoder import KVCache
+    from streamchat_tpu.models.paged_kv import (
+        allocate_pages,
+        decode_step_paged,
+        from_contiguous,
+    )
+
+    params = decoder.init(key, cfg, jnp.float32)
+    s, extra = 32, 6
+    lmax = 64  # multiple of page_size 16 covering s + extra
+    ids = jax.random.randint(jax.random.key(1), (1, s), 0, cfg.vocab_size)
+    embeds = decoder.embed_tokens(params, ids)
+
+    cache = KVCache.create(cfg, 1, lmax, dtype=jnp.float32)
+    logits, cache = decoder.prefill(
+        params, cfg, embeds, cache, jnp.array([s], jnp.int32)
+    )
+    paged = from_contiguous(cache, num_pages=12, max_pages_per_seq=6,
+                            page_size=16)
+    assert int(paged.length[0]) == s
+
+    tok_c = jnp.argmax(logits, -1).astype(jnp.int32)
+    tok_p = tok_c
+    contig_toks, paged_toks = [], []
+    for _ in range(extra):
+        lc, cache = decoder.decode_step(params, cfg, tok_c, cache)
+        tok_c = jnp.argmax(lc, -1).astype(jnp.int32)
+        contig_toks.append(int(tok_c[0]))
+
+        paged = allocate_pages(paged, jnp.ones((1,), jnp.int32))
+        lp, paged = decode_step_paged(params, cfg, tok_p, paged)
+        tok_p = jnp.argmax(lp, -1).astype(jnp.int32)
+        paged_toks.append(int(tok_p[0]))
+
+    assert contig_toks == paged_toks
