@@ -154,3 +154,40 @@ class TestForgetfulBank:
         d = bank.memory["u"]["history"]["2026-08-01"][0]
         assert d["memory_strength"] == 2
         assert d["last_recall_date"] == "2026-08-16"
+
+
+class TestFullMemoryPrompt:
+    META = ("U:{user_name} S:{history_summary} R:{related_memory_content} "
+            "P:{personality} B:{boot_actual_name} H:{history_text} D:{memo_dates}")
+    META_RELATED = "U:{user_name} R:{related_memory_content} B:{boot_actual_name} D:{memo_dates}"
+    NEW_USER = "NEW U:{user_name} B:{boot_actual_name} H:{history_text}"
+
+    def test_full_branch(self):
+        from streamchat_tpu.pipeline.prompts import build_full_memory_prompt
+
+        out = build_full_memory_prompt(
+            "what now?", "alice",
+            {"overall_history": "we cooked", "overall_personality": "curious"},
+            ["memo one"], "2026-01-01", self.META, self.NEW_USER,
+            history=[{"query": "hi", "response": "hello"}],
+        )
+        assert "we cooked" in out and "curious" in out and "memo one" in out
+        assert "[|User|]: what now?" in out
+
+    def test_related_only_branch(self):
+        from streamchat_tpu.pipeline.prompts import build_full_memory_prompt
+
+        out = build_full_memory_prompt(
+            "q", "bob", {}, ["memo"], "d", self.META_RELATED, self.NEW_USER,
+        )
+        assert out.startswith("U:bob")
+        assert "memo" in out
+
+    def test_new_user_branch(self):
+        from streamchat_tpu.pipeline.prompts import build_full_memory_prompt
+
+        out = build_full_memory_prompt(
+            "q", "carol", {}, [], "", self.META_RELATED, self.NEW_USER,
+        )
+        assert out.startswith("NEW U:carol")
+        assert "[|User|]: q" in out
