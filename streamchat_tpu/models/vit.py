@@ -72,6 +72,55 @@ def _block(x: jnp.ndarray, p: Params, cfg: ViTConfig) -> jnp.ndarray:
     return x + (h @ p["mlp"]["fc2"]["w"] + p["mlp"]["fc2"]["b"])
 
 
+def _block_fused(x: jnp.ndarray, p: Params, cfg: ViTConfig, interpret: bool) -> jnp.ndarray:
+    """The same block via the fused Pallas layer-half kernels (ops/fused_vit).
+
+    Round-2 profiling: XLA runs each LayerNorm as a standalone 3.5 ms
+    convert_reduce fusion at batch 128 (~164 ms of the 535 ms encoder call)
+    and materializes head-transpose copies around attention. The fused
+    kernels absorb LN/softmax/transposes into VMEM-resident passes:
+    attention half 18.1 -> 10.8 ms/layer measured on the v5e chip.
+
+    The per-layer QKV concat is traced once per call (23 x 6.3 MB copies,
+    ~0.05 ms/frame at batch 128) — kept here so the param tree stays
+    identical to the HF layout for weights loading and sharding.
+    """
+    from streamchat_tpu.ops.fused_vit import fused_vit_layer
+
+    n = x.shape[0]
+    wqkv = jnp.concatenate(
+        [p["attn"]["q"]["w"], p["attn"]["k"]["w"], p["attn"]["v"]["w"]], axis=1
+    )
+    bqkv = jnp.concatenate(
+        [p["attn"]["q"]["b"], p["attn"]["k"]["b"], p["attn"]["v"]["b"]]
+    )
+    return fused_vit_layer(
+        x, p["ln1"]["scale"], p["ln1"]["bias"], wqkv, bqkv,
+        p["attn"]["o"]["w"], p["attn"]["o"]["b"],
+        p["ln2"]["scale"], p["ln2"]["bias"],
+        p["mlp"]["fc1"]["w"], p["mlp"]["fc1"]["b"],
+        p["mlp"]["fc2"]["w"], p["mlp"]["fc2"]["b"],
+        num_heads=cfg.num_heads, eps=cfg.layernorm_eps,
+        activation="quick_gelu",
+        frame_tile=2 if n % 2 == 0 else 1, interpret=interpret,
+    )
+
+
+def _use_fused(fused: bool | None) -> bool:
+    """Resolve the tri-state `fused` flag.
+
+    None (auto) enables the Pallas path on a single-device TPU backend — the
+    bench/ingest configuration. Multi-device meshes keep the XLA path: the
+    per-op encoder partitions under pjit without shard_map plumbing, and the
+    encoder is data-parallel there (each shard is small). CPU keeps XLA ops
+    (the Mosaic kernels only run interpreted on CPU — tests opt in
+    explicitly with fused=True + interpret).
+    """
+    if fused is not None:
+        return fused
+    return jax.default_backend() == "tpu" and jax.device_count() == 1
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "dtype"))
 def init(key: jax.Array, cfg: ViTConfig, dtype=jnp.bfloat16) -> Params:
     """Random-init parameter tree with the exact CLIP-L/336 geometry.
@@ -132,14 +181,22 @@ def _embed_patches(pixels: jnp.ndarray, w: jnp.ndarray, cfg: ViTConfig) -> jnp.n
     return x.astype(w.dtype) @ w
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "select_layer"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "select_layer", "fused", "interpret")
+)
 def hidden_states(
-    params: Params, pixels: jnp.ndarray, cfg: ViTConfig, select_layer: int | None = None
+    params: Params,
+    pixels: jnp.ndarray,
+    cfg: ViTConfig,
+    select_layer: int | None = None,
+    fused: bool | None = None,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Run the tower up to `select_layer`, returning [N, 1+P, hidden]."""
     if select_layer is None:
         select_layer = cfg.select_layer
     num_blocks = cfg.num_layers + 1 + select_layer if select_layer < 0 else select_layer
+    use_fused = _use_fused(fused)
     x = _embed_patches(pixels, params["patch_embed"]["w"], cfg)
     cls = jnp.broadcast_to(
         params["class_embed"][None, None, :], (x.shape[0], 1, cfg.hidden_size)
@@ -147,17 +204,23 @@ def hidden_states(
     x = jnp.concatenate([cls, x], axis=1) + params["pos_embed"][None]
     x = _layernorm(x, params["pre_ln"]["scale"], params["pre_ln"]["bias"], cfg.layernorm_eps)
     for p in params["layers"][:num_blocks]:
-        x = _block(x, p, cfg)
+        x = _block_fused(x, p, cfg, interpret) if use_fused else _block(x, p, cfg)
     return x
 
 
-def encode(params: Params, pixels: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
+def encode(
+    params: Params,
+    pixels: jnp.ndarray,
+    cfg: ViTConfig,
+    fused: bool | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
     """Patch features [N, P, hidden]: hidden_states[select_layer] minus CLS.
 
     Reference: CLIPVisionTower.forward + feature_select
     (clip_encoder.py:57-79, mm_vision_select_feature="patch").
     """
-    h = hidden_states(params, pixels, cfg)
+    h = hidden_states(params, pixels, cfg, fused=fused, interpret=interpret)
     return h[:, 1:, :]
 
 

@@ -1,0 +1,321 @@
+"""Fused Pallas kernels for the ViT encoder's HBM-bound halves.
+
+Round-1 profiling (CLAUDE.md roofline) showed the CLIP encoder is
+activation-bandwidth bound on this chip (~244 GB/s effective HBM): XLA's
+per-op fusions re-read the residual stream for every LayerNorm (3 passes),
+write the [N*577, 4096] MLP intermediate to HBM between fc1 and fc2
+(~1.2 GB/layer at batch 128), and materialize head-transpose copies around
+attention. These kernels fuse each transformer-layer *half* into one
+VMEM-resident pass:
+
+* `fused_ln_mlp`:  out = x + fc2(act(fc1(LN(x))))   — the 4096-wide
+  intermediate lives only in VMEM; fc1/fc2 weights (16.8 MB bf16) stay
+  resident across grid steps (constant index_map -> Pallas skips the re-DMA).
+  HBM traffic per layer drops from ~2.4 GB to read x + write out (302 MB).
+* `fused_ln_attn`: out = x + O(softmax(QK^T/sqrt(d)) V) with LN and a single
+  merged QKV projection — no q/k/v HBM round-trips, no transpose copies,
+  scores never leave VMEM.
+
+Replaces the per-op path of the reference's HF CLIP encoder
+(`longva/model/multimodal_encoder/clip_encoder.py:68-79`) — the reference
+leans on cuDNN/flash-attn; the TPU design wins by eliminating HBM traffic
+instead. Both kernels are inference-only (no VJP) — StreamChat is
+training-free end to end.
+
+Numerics match the unfused path: LN statistics and softmax in f32, matmuls
+bf16 x bf16 with f32 accumulation, activations stored bf16.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_LIMIT = 120 * 1024 * 1024
+
+
+def _ln_f32(x32, scale, bias, eps):
+    """LayerNorm over the last axis; input/output f32, params any dtype."""
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+
+
+def _erf(x):
+    """erf via Abramowitz & Stegun 7.1.26 (f32, max abs err 1.5e-7)."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+           + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _activate(h32, activation: str):
+    if activation == "quick_gelu":          # CLIP: x * sigmoid(1.702 x)
+        return h32 * jax.nn.sigmoid(1.702 * h32)
+    if activation == "gelu":                # mm projector: exact erf GELU
+        # Mosaic has no erf/erfc primitive; Abramowitz & Stegun 7.1.26
+        # (max abs err 1.5e-7) is exact to well below bf16 resolution.
+        return 0.5 * h32 * (1.0 + _erf(h32 * (2.0 ** -0.5)))
+    if activation == "none":
+        return h32
+    raise ValueError(f"unknown activation: {activation}")
+
+
+def _mlp_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+                *, eps, activation, layernorm, residual):
+    x32 = x_ref[:].astype(jnp.float32)
+    h = _ln_f32(x32, s_ref[:], b_ref[:], eps) if layernorm else x32
+    h = h.astype(x_ref.dtype)
+    mid = jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32)
+    mid = _activate(mid + b1_ref[:].astype(jnp.float32), activation)
+    mid = mid.astype(x_ref.dtype)
+    out = jnp.dot(mid, w2_ref[:], preferred_element_type=jnp.float32)
+    out = out + b2_ref[:].astype(jnp.float32)
+    if residual:
+        out = out + x32
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "activation", "layernorm", "residual", "token_tile",
+                     "interpret"),
+)
+def fused_ln_mlp(
+    x: jnp.ndarray,
+    ln_scale: jnp.ndarray,
+    ln_bias: jnp.ndarray,
+    w1: jnp.ndarray,
+    b1: jnp.ndarray,
+    w2: jnp.ndarray,
+    b2: jnp.ndarray,
+    *,
+    eps: float = 1e-5,
+    activation: str = "quick_gelu",
+    layernorm: bool = True,
+    residual: bool = True,
+    token_tile: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """out = [x +] fc2(act(fc1(LN(x))))  with the intermediate VMEM-only.
+
+    `x` is [T, Din] (callers flatten batch x seq). `token_tile` must be a
+    multiple of 8 (TPU sublane tiling); the final block may overhang T —
+    Pallas masks the out-of-bounds rows, and every op here is row-wise.
+    """
+    t, din = x.shape
+    dmid = w1.shape[1]
+    dout = w2.shape[1]
+    if residual and dout != din:
+        raise ValueError("residual requires matching in/out dims")
+    if token_tile % 8:
+        raise ValueError(f"token_tile={token_tile} must be a multiple of 8")
+    grid = (pl.cdiv(t, token_tile),)
+    const = lambda i: (0, 0)
+    row = lambda i: (i, 0)
+    kernel = functools.partial(
+        _mlp_kernel, eps=eps, activation=activation,
+        layernorm=layernorm, residual=residual,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((token_tile, din), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((din,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((din,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((din, dmid), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((dmid,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dmid, dout), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((dout,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((token_tile, dout), row, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, dout), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(x, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
+def _attn_body(x32, s_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+               *, num_heads, eps, dtype):
+    """f32 [S, D] -> f32 [S, D]: x + O(attention(QKV(LN(x))))."""
+    d = x32.shape[-1]
+    dh = d // num_heads
+    scale = dh ** -0.5
+    h = _ln_f32(x32, s_ref[:], b_ref[:], eps).astype(dtype)
+    qkv = jnp.dot(h, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(dtype)
+    heads_out = []
+    for hd in range(num_heads):  # static slices keep layouts trivial
+        q = qkv[:, hd * dh:(hd + 1) * dh]
+        k = qkv[:, d + hd * dh:d + (hd + 1) * dh]
+        v = qkv[:, 2 * d + hd * dh:2 * d + (hd + 1) * dh]
+        s_qk = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                                 # [S, S] f32
+        a = jax.nn.softmax(s_qk, axis=-1).astype(dtype)
+        heads_out.append(
+            jnp.dot(a, v, preferred_element_type=jnp.float32).astype(dtype)
+        )
+    attn = jnp.concatenate(heads_out, axis=-1)                    # [S, D]
+    out = jnp.dot(attn, wo_ref[:], preferred_element_type=jnp.float32)
+    return out + bo_ref[:].astype(jnp.float32) + x32
+
+
+def _attn_kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, o_ref,
+                 *, num_heads, eps, frame_tile):
+    for f in range(frame_tile):  # static unroll; frame_tile is small
+        out = _attn_body(
+            x_ref[f].astype(jnp.float32), s_ref, b_ref, wqkv_ref, bqkv_ref,
+            wo_ref, bo_ref, num_heads=num_heads, eps=eps, dtype=x_ref.dtype,
+        )
+        o_ref[f] = out.astype(o_ref.dtype)
+
+
+def _layer_kernel(x_ref, s1_ref, b1l_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
+                  s2_ref, b2l_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+                  *, num_heads, eps, activation, frame_tile):
+    dt = x_ref.dtype
+    for f in range(frame_tile):
+        mid_x = _attn_body(
+            x_ref[f].astype(jnp.float32), s1_ref, b1l_ref, wqkv_ref, bqkv_ref,
+            wo_ref, bo_ref, num_heads=num_heads, eps=eps, dtype=dt,
+        )                                                         # [S, D] f32
+        h = _ln_f32(mid_x, s2_ref[:], b2l_ref[:], eps).astype(dt)
+        mid = jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32)
+        mid = _activate(mid + b1_ref[:].astype(jnp.float32), activation)
+        out = jnp.dot(mid.astype(dt), w2_ref[:], preferred_element_type=jnp.float32)
+        out = out + b2_ref[:].astype(jnp.float32) + mid_x
+        o_ref[f] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "eps", "activation", "frame_tile", "interpret"),
+)
+def fused_vit_layer(
+    x: jnp.ndarray,
+    ln1_scale: jnp.ndarray,
+    ln1_bias: jnp.ndarray,
+    wqkv: jnp.ndarray,
+    bqkv: jnp.ndarray,
+    wo: jnp.ndarray,
+    bo: jnp.ndarray,
+    ln2_scale: jnp.ndarray,
+    ln2_bias: jnp.ndarray,
+    w1: jnp.ndarray,
+    b1: jnp.ndarray,
+    w2: jnp.ndarray,
+    b2: jnp.ndarray,
+    *,
+    num_heads: int,
+    eps: float = 1e-5,
+    activation: str = "quick_gelu",
+    frame_tile: int = 2,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One full pre-LN transformer block, VMEM-resident per frame tile.
+
+    out = y + fc2(act(fc1(LN2(y)))),  y = x + O(attn(QKV(LN1(x))))
+
+    The residual stream round-trips HBM once per layer (read x, write out);
+    everything else — LN statistics, q/k/v, scores, softmax, the MLP
+    intermediate — lives in VMEM. All weights (~25 MB bf16 at ViT-L) stay
+    resident across grid steps.
+    """
+    n, s, d = x.shape
+    if n % frame_tile:
+        raise ValueError(f"N={n} not a multiple of frame_tile={frame_tile}")
+    grid = (n // frame_tile,)
+    kernel = functools.partial(
+        _layer_kernel, num_heads=num_heads, eps=eps, activation=activation,
+        frame_tile=frame_tile,
+    )
+    dmid = w1.shape[1]
+    vec = lambda i: (0,)
+    mat = lambda i: (0, 0)
+    frame = lambda i: (i, 0, 0)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((frame_tile, s, d), frame, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 3 * d), mat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * d,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), mat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, dmid), mat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((dmid,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((dmid, d), mat, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), vec, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((frame_tile, s, d), frame, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, s, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(x, ln1_scale, ln1_bias, wqkv, bqkv, wo, bo,
+      ln2_scale, ln2_bias, w1, b1, w2, b2)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "eps", "frame_tile", "interpret")
+)
+def fused_ln_attn(
+    x: jnp.ndarray,
+    ln_scale: jnp.ndarray,
+    ln_bias: jnp.ndarray,
+    wqkv: jnp.ndarray,
+    bqkv: jnp.ndarray,
+    wo: jnp.ndarray,
+    bo: jnp.ndarray,
+    *,
+    num_heads: int,
+    eps: float = 1e-5,
+    frame_tile: int = 1,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """out = x + O(attention(QKV(LN(x)))) for non-causal ViT attention.
+
+    `x` is [N, S, D]; `wqkv` is the merged [D, 3D] projection (q|k|v column
+    blocks). N must be a multiple of `frame_tile`. Full S x S scores fit in
+    VMEM at ViT lengths (S=577 -> 1.3 MB f32 per head).
+    """
+    n, s, d = x.shape
+    if n % frame_tile:
+        raise ValueError(f"N={n} not a multiple of frame_tile={frame_tile}")
+    grid = (n // frame_tile,)
+    kernel = functools.partial(
+        _attn_kernel, num_heads=num_heads, eps=eps, frame_tile=frame_tile
+    )
+    vec = lambda i: (0,)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((frame_tile, s, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 3 * d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * d,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), vec, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((frame_tile, s, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, s, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo)
