@@ -35,18 +35,19 @@ class GenState(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_new_tokens", "temperature", "top_p", "eos_ids"),
-    donate_argnames=("cache",),
+    static_argnames=(
+        "cfg", "max_new_tokens", "temperature", "top_p", "eos_ids", "max_len"
+    ),
 )
 def generate(
     params,
     cfg: DecoderConfig,
     prompt_embeds: jnp.ndarray,
     seq_length: jnp.ndarray,
-    cache: KVCache,
     key: jax.Array,
     *,
     max_new_tokens: int,
+    max_len: int | None = None,
     temperature: float = 0.0,
     top_p: float | None = None,
     eos_ids: Tuple[int, ...] | None = None,
@@ -56,10 +57,18 @@ def generate(
     prompt_embeds [B, S, D] padded to S; seq_length [B] = valid prompt length.
     Finished rows emit pad_token_id. count = tokens generated before EOS
     (EOS itself excluded, matching tokenizer.batch_decode(skip_special_tokens)).
+
+    The KV cache (max_len slots, default S + max_new_tokens) is allocated
+    INSIDE the jit: passing a host-built zero cache in would either be copied
+    (no donation) or trip XLA's "donated buffers were not usable" path — the
+    cache never appears in the outputs, so there is nothing to alias it to.
     """
     if eos_ids is None:
         eos_ids = (cfg.eos_token_id,)
     b = prompt_embeds.shape[0]
+    if max_len is None:
+        max_len = prompt_embeds.shape[1] + max_new_tokens
+    cache = KVCache.create(cfg, b, max_len, dtype=prompt_embeds.dtype)
 
     first_logits, cache = _prefill_inline(params, cfg, prompt_embeds, cache, seq_length)
 

@@ -27,7 +27,6 @@ import jax.numpy as jnp
 
 from streamchat_tpu.config import DecoderConfig, ViTConfig
 from streamchat_tpu.models import decoder, generate as genlib, projector, vit
-from streamchat_tpu.models.decoder import KVCache
 from streamchat_tpu.models.tokenizer import (
     IMAGE_TOKEN_INDEX,
     ByteTokenizer,
@@ -46,6 +45,17 @@ class LongVA:
     dec_cfg: DecoderConfig
     tokenizer: object
     keys: KeySeq
+    # Production decode path (VERDICT r1 item 4): "paged" routes generation
+    # through the PagedKVCache (page-granular storage; with kv_budget_tokens
+    # set, in-loop H2O compression keeps multi-round sessions inside the
+    # budget — the working version of the reference's dormant zoo at
+    # llavanext/model/kv_cache/modeling_kv_cache.py:237-852).
+    # "contiguous" keeps the dense preallocated cache (token-exact twin).
+    decode_backend: str = "paged"
+    # KV budget in tokens (page-aligned). None = size the pool so it never
+    # overflows (no compression). When set, the decode loop H2O-compresses
+    # to 3/4 budget (sink=4, recent=budget/4) whenever the pool runs out.
+    kv_budget_tokens: Optional[int] = None
 
     # ------------------------------------------------------------------
     # Construction
@@ -210,26 +220,58 @@ class LongVA:
         key: jax.Array | None = None,
     ) -> str:
         embeds, length = self.splice_prompt(prompt, image_embeddings)
-        cache = KVCache.create(
-            self.dec_cfg,
-            batch=1,
-            max_len=embeds.shape[1] + max_new_tokens,
-            dtype=embeds.dtype,
-        )
-        toks, count = genlib.generate(
-            self.dec_params,
-            self.dec_cfg,
-            embeds,
-            jnp.array([length], jnp.int32),
-            cache,
-            key if key is not None else self.keys(),
+        common = dict(
             max_new_tokens=max_new_tokens,
             temperature=temperature,
             top_p=top_p,
             eos_ids=tuple(self.tokenizer.eos_ids),
         )
+        if self.decode_backend == "paged":
+            from streamchat_tpu.models.generate_paged import generate_paged
+
+            toks, count = generate_paged(
+                self.dec_params,
+                self.dec_cfg,
+                embeds,
+                jnp.array([length], jnp.int32),
+                key if key is not None else self.keys(),
+                **common,
+                **self._paged_budget(embeds.shape[1], max_new_tokens),
+            )
+        else:
+            toks, count = genlib.generate(
+                self.dec_params,
+                self.dec_cfg,
+                embeds,
+                jnp.array([length], jnp.int32),
+                key if key is not None else self.keys(),
+                **common,
+            )
         n = int(count[0])
         return self.tokenizer.decode([int(t) for t in toks[0][:n]]).strip()
+
+    def _paged_budget(self, prompt_len: int, max_new_tokens: int) -> dict:
+        """Paged-decode pool sizing. With kv_budget_tokens set, the pool is
+        capped at the budget and in-loop H2O eviction (sink=4, recent=1/4,
+        compressed size=3/4 budget) keeps long sessions inside it."""
+        ps = 128
+        if self.kv_budget_tokens is None:
+            return {"page_size": ps}
+        cap = max(-(-self.kv_budget_tokens // ps), 2) * ps
+        recent = max(ps, cap // 4)
+        sink = 4
+        hh = (3 * cap) // 4 - sink - recent
+        if hh <= 0:
+            raise ValueError(f"kv_budget_tokens={self.kv_budget_tokens} too small")
+        pages = cap // ps
+        return {
+            "page_size": ps,
+            "num_pages": pages,
+            "max_pages_per_seq": pages,
+            "hh_size": hh,
+            "recent_size": recent,
+            "sink_size": sink,
+        }
 
     def score_with_image_embedding(
         self,

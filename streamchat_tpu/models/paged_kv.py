@@ -194,20 +194,38 @@ def from_contiguous(
     )
 
 
-def decode_step_paged(params, cfg, token_ids: jnp.ndarray, cache: "PagedKVCache"):
-    """One decode step against a paged cache -> (logits [B, V], cache).
+def decode_step_paged(
+    params,
+    cfg,
+    token_ids: jnp.ndarray,
+    cache: "PagedKVCache",
+    positions: Optional[jnp.ndarray] = None,
+    collect_mass: bool = False,
+):
+    """One decode step against a paged cache -> (logits [B, V], cache[, mass]).
 
     The paged twin of models/decoder.decode_step: per layer, the new token's
     K/V append into the tail page and attention gathers through the page
     table. Pages for the new token must already be mapped
     (allocate_pages(cache, ones) before calling).
+
+    positions: [B] RoPE position of the new token; defaults to cache.length.
+    After in-loop H2O eviction (generate_paged) the cache holds FEWER slots
+    than tokens seen, so the caller must pass the true global position —
+    keys keep their original rotary phase, like the reference's H2OKVCache
+    which evicts post-RoPE keys (modeling_kv_cache.py:874-930).
+    collect_mass: additionally return per-layer attention mass
+    [L, B, Hkv, cap] for H2O heavy-hitter scoring.
     """
     from streamchat_tpu.models import decoder
 
     b = token_ids.shape[0]
     x = decoder.embed_tokens(params, token_ids)[:, None, :]
-    positions = cache.length[:, None]
+    if positions is None:
+        positions = cache.length
+    positions = positions[:, None]
     hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    masses = []
 
     for i, p in enumerate(params["layers"]):
         h = decoder.rmsnorm(x, p["input_norm"], cfg.rms_eps)
@@ -222,7 +240,11 @@ def decode_step_paged(params, cfg, token_ids: jnp.ndarray, cache: "PagedKVCache"
         o = paged_decode_attention(
             q, cache.k_pages[i], cache.v_pages[i],
             cache.page_table, cache.length + 1,
+            return_mass=collect_mass,
         )
+        if collect_mass:
+            o, mass = o
+            masses.append(mass)
         o = o.transpose(0, 2, 1, 3).reshape(b, 1, hq * dh)
         x = x + decoder._proj(o, p["attn"]["o"])
         hmid = decoder.rmsnorm(x, p["post_norm"], cfg.rms_eps)
@@ -233,10 +255,13 @@ def decode_step_paged(params, cfg, token_ids: jnp.ndarray, cache: "PagedKVCache"
 
     x = decoder.rmsnorm(x, params["final_norm"], cfg.rms_eps)
     logits = decoder.logits_from_hidden(params, cfg, x)[:, 0]
-    return logits, advance(cache, jnp.ones((b,), jnp.int32))
+    cache = advance(cache, jnp.ones((b,), jnp.int32))
+    if collect_mass:
+        return logits, cache, jnp.stack(masses)
+    return logits, cache
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale",))
+@functools.partial(jax.jit, static_argnames=("sm_scale", "return_mass"))
 def paged_decode_attention(
     q: jnp.ndarray,           # [B, H, 1, Dh]
     k_pages: jnp.ndarray,     # [num_pages, Hkv, page_size, Dh] (one layer)
@@ -244,8 +269,15 @@ def paged_decode_attention(
     page_table: jnp.ndarray,  # [B, max_pages]
     length: jnp.ndarray,      # [B]
     sm_scale: float | None = None,
-) -> jnp.ndarray:
-    """Single-token attention against a paged cache -> [B, H, 1, Dh]."""
+    return_mass: bool = False,
+):
+    """Single-token attention against a paged cache -> [B, H, 1, Dh].
+
+    With return_mass=True also returns the per-KV-head attention mass
+    [B, Hkv, max_pages*page_size] (query groups summed) — the H2O
+    heavy-hitter statistic (`_update_hh_score`, reference
+    modeling_kv_cache.py:839-852) accumulated by generate_paged.
+    """
     b, hq, _, d = q.shape
     hkv, ps = k_pages.shape[1], k_pages.shape[2]
     if sm_scale is None:
@@ -264,4 +296,83 @@ def paged_decode_attention(
     s = jnp.where(col < length[:, None, None, None], s, DEFAULT_MASK_VALUE)
     p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("bhgl,bhld->bhgd", p, v.astype(jnp.float32))
-    return o.reshape(b, hq, 1, d).astype(q.dtype)
+    o = o.reshape(b, hq, 1, d).astype(q.dtype)
+    if return_mass:
+        return o, jnp.sum(p, axis=2)                # [B, Hkv, maxp*ps]
+    return o
+
+
+def compress_paged(
+    cache: "PagedKVCache",
+    hh_score: jnp.ndarray,        # [L, Hkv, max_pages*page_size] f32
+    *,
+    hh_size: int,
+    recent_size: int,
+    sink_size: int = 4,
+    merge: Optional[str] = None,
+) -> Tuple["PagedKVCache", jnp.ndarray]:
+    """H2O-compress a (batch-1) paged cache in place -> (cache', hh_score').
+
+    Gathers the page table into token order, runs `ops.kv_compress.compress_kv`
+    per layer on the accumulated heavy-hitter scores, and re-pages the
+    surviving sink+hh+recent slots into pages [0, ceil(C/ps)). The allocator
+    resets to just past the compressed region, so decoding continues with
+    `cap - C` free slots before the next compression. Shape-stable and
+    jit/cond-safe (reference semantics: H2OKVCache.__call__,
+    modeling_kv_cache.py:874-930, made static-shape for XLA).
+
+    Evicted keys keep their original RoPE phase; callers must track the
+    global decode position separately (see decode_step_paged `positions`).
+    """
+    from streamchat_tpu.ops.kv_compress import compress_kv
+
+    l, num_pages, hkv, ps, dh = cache.k_pages.shape
+    b, maxp = cache.page_table.shape
+    if b != 1:
+        raise ValueError("compress_paged supports batch 1")
+    cap = maxp * ps
+    c = sink_size + hh_size + recent_size
+    if c >= cap:
+        raise ValueError(f"compressed size {c} must be < capacity {cap}")
+
+    table = jnp.maximum(cache.page_table[0], 0)               # [maxp]
+    # [L, maxp, Hkv, ps, Dh] -> token order [L, Hkv, cap, Dh]
+    def gather(pages):
+        g = pages[:, table]
+        return g.transpose(0, 2, 1, 3, 4).reshape(l, hkv, cap, dh)
+
+    k = gather(cache.k_pages)
+    v = gather(cache.v_pages)
+    length = cache.length[0]
+
+    comp = jax.vmap(
+        lambda kl, vl, sl: compress_kv(
+            kl, vl, sl, length,
+            hh_size=hh_size, recent_size=recent_size,
+            sink_size=sink_size, merge=merge,
+        )
+    )
+    k2, v2, s2, kept = comp(k, v, hh_score)                   # [L, Hkv, C, Dh]
+    kept = kept[0]                                             # all layers equal
+
+    c_pages = -(-c // ps)
+    c_pad = c_pages * ps
+    def repage(x):
+        out = jnp.zeros((l, hkv, c_pad, dh), x.dtype).at[:, :, :c].set(x)
+        out = out.reshape(l, hkv, c_pages, ps, dh).transpose(0, 2, 1, 3, 4)
+        return out                                             # [L, c_pages, Hkv, ps, Dh]
+
+    k_pages = cache.k_pages.at[:, :c_pages].set(repage(k2).astype(cache.k_pages.dtype))
+    v_pages = cache.v_pages.at[:, :c_pages].set(repage(v2).astype(cache.v_pages.dtype))
+    new_table = jnp.where(
+        jnp.arange(maxp) < c_pages, jnp.arange(maxp), -1
+    )[None].astype(jnp.int32)
+    new_hh = jnp.zeros((l, hkv, cap), hh_score.dtype).at[:, :, :c].set(s2)
+    new_cache = PagedKVCache(
+        k_pages=k_pages,
+        v_pages=v_pages,
+        page_table=new_table,
+        length=kept[None].astype(jnp.int32),
+        next_free=jnp.asarray(c_pages, jnp.int32),
+    )
+    return new_cache, new_hh

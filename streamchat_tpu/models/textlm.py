@@ -15,7 +15,6 @@ import jax.numpy as jnp
 
 from streamchat_tpu.config import DecoderConfig
 from streamchat_tpu.models import decoder, generate as genlib
-from streamchat_tpu.models.decoder import KVCache
 from streamchat_tpu.models.tokenizer import ByteTokenizer, load_tokenizer
 from streamchat_tpu.utils.prng import KeySeq
 
@@ -95,10 +94,9 @@ class TextLM:
             embeds = jax.lax.dynamic_update_slice(
                 embeds, e[None].astype(dtype), (row, 0, 0)
             )
-        cache = KVCache.create(self.cfg, b, padded + max_new_tokens, dtype=dtype)
         toks, count = genlib.generate(
             self.params, self.cfg, embeds,
-            jnp.asarray(lengths, jnp.int32), cache, self.keys(),
+            jnp.asarray(lengths, jnp.int32), self.keys(),
             max_new_tokens=max_new_tokens,
             temperature=temperature, top_p=top_p,
             eos_ids=tuple(self.tokenizer.eos_ids),

@@ -77,10 +77,9 @@ def test_generate_greedy_deterministic(params):
     ids = jnp.arange(5, dtype=jnp.int32)[None]
     outs = []
     for seed in (0, 1):
-        cache = KVCache.create(CFG, 1, 64, jnp.float32)
         toks, count = generate(
             params, CFG, _embeds(params, ids), jnp.array([5], jnp.int32),
-            cache, jax.random.key(seed), max_new_tokens=8, temperature=0.0,
+            jax.random.key(seed), max_new_tokens=8, temperature=0.0, max_len=64,
         )
         outs.append(np.asarray(toks))
         assert toks.shape == (1, 8)
@@ -92,10 +91,9 @@ def test_generate_greedy_deterministic(params):
 def test_generate_matches_stepwise_greedy(params):
     """The fused loop must agree with manual prefill + argmax decode."""
     ids = jnp.arange(4, dtype=jnp.int32)[None]
-    cache = KVCache.create(CFG, 1, 64, jnp.float32)
     toks, _ = generate(
         params, CFG, _embeds(params, ids), jnp.array([4], jnp.int32),
-        cache, jax.random.key(0), max_new_tokens=4, temperature=0.0,
+        jax.random.key(0), max_new_tokens=4, temperature=0.0, max_len=64,
     )
     cache2 = KVCache.create(CFG, 1, 64, jnp.float32)
     logits, cache2 = decoder.prefill(

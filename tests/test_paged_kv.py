@@ -147,3 +147,111 @@ def test_paged_generation_matches_contiguous(cfg, key):
         paged_toks.append(int(tok_p[0]))
 
     assert contig_toks == paged_toks
+
+
+class TestGeneratePaged:
+    """The fused paged generate loop (models/generate_paged.py)."""
+
+    def _setup(self, cfg, key, s=20):
+        from streamchat_tpu.models import decoder
+
+        params = decoder.init(key, cfg, jnp.float32)
+        ids = jax.random.randint(jax.random.key(7), (1, s), 0, cfg.vocab_size)
+        embeds = decoder.embed_tokens(params, ids)
+        return params, embeds, jnp.array([s], jnp.int32)
+
+    def test_token_exact_vs_contiguous(self, cfg, key):
+        from streamchat_tpu.models.generate import generate
+        from streamchat_tpu.models.generate_paged import generate_paged
+
+        params, embeds, length = self._setup(cfg, key)
+        kw = dict(max_new_tokens=8, temperature=0.0)
+        toks_c, count_c = generate(
+            params, cfg, embeds, length, jax.random.key(0), **kw
+        )
+        toks_p, count_p = generate_paged(
+            params, cfg, embeds, length, jax.random.key(0),
+            page_size=16, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(toks_c), np.asarray(toks_p))
+        assert int(count_c[0]) == int(count_p[0])
+
+    def test_inloop_compression_runs(self, cfg, key):
+        """Decode far past the page pool: the in-loop H2O branch must fire
+        (cache length stays <= compressed size + room) and the loop keeps
+        producing tokens."""
+        from streamchat_tpu.models.generate_paged import generate_paged
+
+        params, embeds, length = self._setup(cfg, key, s=20)
+        ps = 16
+        pages = 3                               # cap = 48 tokens
+        toks, count = generate_paged(
+            params, cfg, embeds, length, jax.random.key(0),
+            max_new_tokens=40,                  # 20 + 40 > 48 -> must compress
+            page_size=ps, num_pages=pages, max_pages_per_seq=pages,
+            hh_size=12, recent_size=16, sink_size=4,
+        )
+        assert toks.shape == (1, 40)
+        # All steps produced a token (pad only after EOS, which random
+        # weights may or may not emit; at minimum the loop did not wedge).
+        assert int(count[0]) >= 1
+
+    def test_inloop_compression_prefix_exact(self, cfg, key):
+        """Tokens generated BEFORE the first compression must match the
+        uncompressed stream exactly (eviction only perturbs steps after it
+        fires)."""
+        from streamchat_tpu.models.generate import generate
+        from streamchat_tpu.models.generate_paged import generate_paged
+
+        params, embeds, length = self._setup(cfg, key, s=20)
+        ps, pages = 16, 3                       # cap 48; 20 prompt -> 28 free
+        kw = dict(max_new_tokens=36, temperature=0.0)
+        toks_ref, _ = generate(
+            params, cfg, embeds, length, jax.random.key(0), **kw
+        )
+        toks_p, _ = generate_paged(
+            params, cfg, embeds, length, jax.random.key(0),
+            page_size=ps, num_pages=pages, max_pages_per_seq=pages,
+            hh_size=12, recent_size=16, sink_size=4, **kw
+        )
+        # Pool fills at token 28 of decode (48 - 20); the first 25+ steps are
+        # untouched by compression and must agree bit-exactly.
+        np.testing.assert_array_equal(
+            np.asarray(toks_ref)[:, :24], np.asarray(toks_p)[:, :24]
+        )
+
+    def test_prompt_exceeds_budget(self, cfg, key):
+        """A prompt longer than the pool is H2O-compressed post-prefill and
+        decoding proceeds."""
+        from streamchat_tpu.models.generate_paged import generate_paged
+
+        params, embeds, length = self._setup(cfg, key, s=60)
+        toks, count = generate_paged(
+            params, cfg, embeds, length, jax.random.key(0),
+            max_new_tokens=8,
+            page_size=16, num_pages=3, max_pages_per_seq=3,  # cap 48 < 60
+            hh_size=12, recent_size=16, sink_size=4,
+        )
+        assert toks.shape == (1, 8)
+
+    def test_longva_paged_backend_matches_contiguous(self, cfg, key):
+        """LongVA's default (paged) backend returns the same greedy text as
+        the contiguous backend."""
+        from streamchat_tpu.config import ViTConfig
+        from streamchat_tpu.models.longva import LongVA
+
+        model = LongVA.init_random(
+            key, ViTConfig.tiny(projection_dim=cfg.hidden_size), cfg,
+            dtype=jnp.float32,
+        )
+        feats = jax.random.normal(jax.random.key(3), (8, cfg.hidden_size))
+        prompt = "describe <image> please"
+        assert model.decode_backend == "paged"
+        out_paged = model.generate_with_image_embedding(
+            prompt, [feats], max_new_tokens=6, temperature=0.0
+        )
+        model.decode_backend = "contiguous"
+        out_contig = model.generate_with_image_embedding(
+            prompt, [feats], max_new_tokens=6, temperature=0.0
+        )
+        assert out_paged == out_contig
