@@ -1,21 +1,46 @@
-"""Headline benchmark: ViT frame-ingest throughput (frames/sec/chip).
+"""Headline benchmarks: ViT frame-ingest throughput + p50 answer latency.
 
-This is the BASELINE.json primary metric — the rate at which the pipeline
-turns decoded frames into LM-ready visual features (CLIP ViT-L/14-336 encode
-+ mm-projection + selective-stacking descriptor pass). The reference repo
-publishes no throughput tables (BASELINE.md), so `vs_baseline` is computed
-against an analytic estimate of the reference's encoder stage on its own
-hardware: ViT-L/14-336 is ~0.42 TFLOPs/frame (24 layers, 577 tokens, d=1024,
-plus the mm MLP); an A100 at 312 TFLOPs fp16 and a generous 45% MFU gives
-~330 frames/sec/GPU. The reference's *achieved* ingest is far lower (serial
-cv2 frame seeks + per-frame preprocessing on host), so this baseline is the
-hard version to beat.
+BASELINE.json names two primary metrics; both are emitted on ONE JSON line.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+1. `vit_ingest_frames_per_sec_per_chip` — the rate at which the pipeline
+   turns decoded frames into LM-ready visual features (CLIP ViT-L/14-336
+   encode + mm-projection + selective-stacking descriptor pass). The
+   reference publishes no throughput tables (BASELINE.md), so `vs_baseline`
+   is an analytic estimate of the reference's encoder stage on its own
+   hardware: ViT-L/14-336 is ~0.42 TFLOPs/frame; an A100 at 312 TFLOPs fp16
+   and a generous 45% MFU gives ~330 frames/sec/GPU. The reference's
+   *achieved* ingest is far lower (serial cv2 seeks + per-frame host
+   preprocessing), so this baseline is the hard version to beat. The encode
+   runs the fused Pallas transformer-layer kernels (ops/fused_vit) on TPU.
+
+2. `answer_p50_s` — p50 per-round answer latency at Qwen2-7B geometry:
+   spliced ~4k-token prefill + 256-token KV-cached decode through the
+   PRODUCTION paged decode path (models/generate_paged), one fused XLA
+   program per round. Reference instrumentation being rebuilt:
+   inference_streaming_longva_v2.py:160,657 (its decode runs
+   use_cache=False — every token re-prefills the full context, putting its
+   true per-answer latency at minutes scale on A100). `answer_vs_baseline`
+   is computed against a CHARITABLE baseline instead: a hypothetical
+   KV-cached HF decode on one A100 (prefill 2*7e9*4096 FLOPs at 45% MFU
+   ~0.41 s + 256 tokens * 14 GB / 1.55 TB/s HBM + ~5 ms/step framework
+   overhead ~ 4.0 s total), i.e. we compare against a reference that had
+   fixed its own worst bug. Ratio > 1 means we beat that.
+
+   The full 28-layer 7B in bf16 (~15.2 GB + KV) may not fit the 16 GB v5e
+   chip; on allocation failure the bench re-measures at 14 layers and
+   doubles prefill/decode time (linear in layers; `answer_extrapolated`
+   marks this — same method as README's round-1 numbers).
+
+Timing discipline (CLAUDE.md): scalars are float()-fetched per iteration
+(block_until_ready alone returns bogus timings through the async relay),
+params are passed as arguments (closure capture constant-folds 15 GB into
+the program), and two passes are taken with best-wins (the relay adds
+occasional multi-hundred-ms stalls).
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import time
@@ -23,15 +48,21 @@ import time
 import jax
 import jax.numpy as jnp
 
-from streamchat_tpu.config import DecoderConfig, ViTConfig
-from streamchat_tpu.models import projector, vit
-from streamchat_tpu.ops.dedup import frame_descriptors, select_changed_frames
-
-BASELINE_FPS = 330.0  # analytic A100 estimate, see module docstring
+BASELINE_FPS = 330.0        # analytic A100 estimate, see module docstring
+BASELINE_ANSWER_P50 = 4.0   # charitable KV-cached A100 reference, see above
 
 
-def main() -> None:
-    small = os.environ.get("SC_BENCH_SMALL", "") == "1" or jax.default_backend() == "cpu"
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+
+
+def bench_ingest(small: bool) -> float:
+    from streamchat_tpu.config import DecoderConfig, ViTConfig
+    from streamchat_tpu.models import projector, vit
+    from streamchat_tpu.ops.dedup import frame_descriptors, select_changed_frames
+
     vit_cfg = ViTConfig.tiny() if small else ViTConfig()
     dec_hidden = 128 if small else DecoderConfig.qwen2_7b().hidden_size
     batch = 8 if small else 128
@@ -42,12 +73,6 @@ def main() -> None:
     vit_p = vit.init(k1, vit_cfg, dtype)
     proj_p = projector.init(k2, vit_cfg.hidden_size, dec_hidden, dtype)
 
-    # Params are explicit args: closure-captured arrays become compile-time
-    # constants, and constant-folding a 0.6 GB ViT through the compiler stalls
-    # compilation (observed >9 min over the remote-TPU tunnel vs ~15 s here).
-    # The jit returns scalars only — fetching them to host each iteration
-    # forces real completion (block_until_ready alone has produced bogus
-    # sub-millisecond timings through the async remote-TPU relay).
     @jax.jit
     def ingest(vit_p, proj_p, pixels):
         feats = vit.encode(vit_p, pixels, vit_cfg)        # [N, P, Dv]
@@ -62,8 +87,6 @@ def main() -> None:
     float(ingest(vit_p, proj_p, pixels)[0])               # compile + warmup
     float(ingest(vit_p, proj_p, pixels)[0])
 
-    # Two timing passes, best wins: the remote-TPU relay adds occasional
-    # multi-hundred-ms stalls that would misreport steady-state throughput.
     best_dt = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
@@ -71,14 +94,104 @@ def main() -> None:
             checksum, _ = ingest(vit_p, proj_p, pixels)
             float(checksum)
         best_dt = min(best_dt, time.perf_counter() - t0)
+    return batch * iters / best_dt
 
-    fps = batch * iters / best_dt
-    print(json.dumps({
+
+def bench_answer_latency(small: bool, num_layers: int, int8: bool = False):
+    """One round = fused (4k-prefill + 256-token paged decode) program.
+
+    Returns (p50 seconds, rounds list). Raises on allocation failure so the
+    caller can retry at fewer layers. int8=True serves the weight-only
+    quantized decoder (ops/quant.py) — decode is weight-bandwidth bound, so
+    this is the production serving mode's number.
+    """
+    import dataclasses
+
+    from streamchat_tpu.config import DecoderConfig
+    from streamchat_tpu.models import decoder
+    from streamchat_tpu.models.generate_paged import generate_paged
+
+    if small:
+        cfg = DecoderConfig.tiny()
+        ctx, max_new, rounds = 64, 8, 2
+    else:
+        cfg = dataclasses.replace(DecoderConfig.qwen2_7b(), num_layers=num_layers)
+        ctx, max_new, rounds = 4096, 256, 3
+
+    params = decoder.init(jax.random.key(0), cfg, jnp.float32 if small else jnp.bfloat16)
+    if int8:
+        from streamchat_tpu.ops.quant import quantize_decoder_params
+
+        params = quantize_decoder_params(params, destructive=True)
+        gc.collect()
+    # A spliced multimodal prompt is embeddings, not token ids — synthesize
+    # the post-splice [1, ctx, D] directly (visual memory + question layout).
+    embeds = (jax.random.normal(jax.random.key(1), (1, ctx, cfg.hidden_size))
+              * 0.02).astype(params["embed"].dtype)
+    seq_len = jnp.array([ctx - 7], jnp.int32)   # ragged valid length
+
+    def one_round(key):
+        toks, count = generate_paged(
+            params, cfg, embeds, seq_len, key,
+            max_new_tokens=max_new, temperature=0.2,
+            eos_ids=(-1,),                       # never fires: full decode
+        )
+        return float(count[0])
+
+    one_round(jax.random.key(2))                 # compile + warmup
+    times = []
+    for i in range(rounds):
+        t0 = time.perf_counter()
+        one_round(jax.random.key(3 + i))
+        times.append(time.perf_counter() - t0)
+    del params, embeds
+    gc.collect()
+    return _median(times), times
+
+
+def main() -> None:
+    small = os.environ.get("SC_BENCH_SMALL", "") == "1" or jax.default_backend() == "cpu"
+
+    fps = bench_ingest(small)
+    gc.collect()
+
+    out = {
         "metric": "vit_ingest_frames_per_sec_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
-    }))
+    }
+
+    if os.environ.get("SC_BENCH_SKIP_ANSWER", "") != "1":
+        full_layers = 2 if small else 28
+        try:
+            p50, times = bench_answer_latency(small, full_layers)
+            extrapolated = False
+        except Exception:
+            # Full 7B bf16 (~15.2 GB) can exceed the 16 GB chip: re-measure
+            # at half depth and double (time is linear in layers).
+            gc.collect()
+            p50, times = bench_answer_latency(small, full_layers // 2)
+            p50, times = 2 * p50, [2 * t for t in times]
+            extrapolated = True
+        out.update({
+            "answer_p50_s": round(p50, 3),
+            "answer_vs_baseline": round(BASELINE_ANSWER_P50 / p50, 3),
+            "answer_rounds_s": [round(t, 3) for t in times],
+            "answer_extrapolated": extrapolated,
+        })
+        gc.collect()
+        # Production serving mode: int8 weight-only decoder (LongVA.quantize).
+        try:
+            p50_q, times_q = bench_answer_latency(small, full_layers, int8=True)
+            out.update({
+                "answer_p50_int8_s": round(p50_q, 3),
+                "answer_int8_vs_baseline": round(BASELINE_ANSWER_P50 / p50_q, 3),
+            })
+        except Exception:
+            pass
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

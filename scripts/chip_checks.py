@@ -1,0 +1,151 @@
+"""On-chip numerics checks for the Pallas kernels (VERDICT r1 weak-7).
+
+The CPU test suite validates every kernel in interpret mode; this script
+runs the COMPILED kernels on the real TPU and compares against the XLA
+reference at production shapes. Run on a chip-attached interpreter:
+
+    python scripts/chip_checks.py
+
+Prints one PASS/FAIL line per check and exits non-zero on any failure.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _err(a, b):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    return float(np.max(np.abs(a - b)))
+
+
+def check(name, fn, tol):
+    try:
+        err = fn()
+        ok = err <= tol
+    except Exception as e:  # noqa: BLE001 - report, don't crash the suite
+        print(f"FAIL {name}: {type(e).__name__}: {e}")
+        return False
+    print(f"{'PASS' if ok else 'FAIL'} {name}: max_err={err:.3e} tol={tol:.0e}")
+    return ok
+
+
+def flash_decoder_prefill():
+    """flash_attention vs XLA reference at the 7B prefill shape (GQA 28/4)."""
+    from streamchat_tpu.ops.attention import _attention_reference, flash_attention
+
+    b, hq, hkv, s, d = 1, 28, 4, 4096, 128
+    kq, kk, kv = jax.random.split(jax.random.key(0), 3)
+    q = jax.random.normal(kq, (b, hq, s, d), jnp.bfloat16)
+    k = jax.random.normal(kk, (b, hkv, s, d), jnp.bfloat16)
+    v = jax.random.normal(kv, (b, hkv, s, d), jnp.bfloat16)
+    length = jnp.array([s - 137], jnp.int32)      # ragged tail masked
+    out = flash_attention(q, k, v, length, causal=True)
+    ref = _attention_reference(q, k, v, causal=True, sm_scale=d**-0.5,
+                               kv_length=length)
+    # Compare only valid rows (rows past kv_length attend to garbage).
+    n = int(length[0])
+    return _err(out[:, :, :n], ref[:, :, :n])
+
+
+def flash_vit_shape():
+    """flash_attention at the ViT's padded 577-token non-causal shape."""
+    from streamchat_tpu.ops.attention import _attention_reference, flash_attention
+
+    b, h, s, d = 4, 16, 577, 64
+    kq, kk, kv = jax.random.split(jax.random.key(1), 3)
+    q = jax.random.normal(kq, (b, h, s, d), jnp.bfloat16)
+    k = jax.random.normal(kk, (b, h, s, d), jnp.bfloat16)
+    v = jax.random.normal(kv, (b, h, s, d), jnp.bfloat16)
+    out = flash_attention(q, k, v, causal=False)
+    ref = _attention_reference(q, k, v, causal=False, sm_scale=d**-0.5)
+    return _err(out, ref)
+
+
+def flash_partial_vs_xla_block():
+    """Compiled flash_attention_partial vs the XLA ring block (all 3 ring
+    geometries: diagonal, below-diagonal, above-diagonal)."""
+    from streamchat_tpu.ops.attention import flash_attention_partial
+    from streamchat_tpu.ops.ring_attention import NEG_INF, _block_attn
+
+    b, hq, hkv, sq, sk, d = 1, 8, 4, 1024, 1024, 128
+    kq, kk, kv = jax.random.split(jax.random.key(2), 3)
+    q = jax.random.normal(kq, (b, hq, sq, d), jnp.bfloat16)
+    k = jax.random.normal(kk, (b, hkv, sk, d), jnp.bfloat16)
+    v = jax.random.normal(kv, (b, hkv, sk, d), jnp.bfloat16)
+    worst = 0.0
+    for q_off, k_off in [(0, 0), (1024, 0), (0, 1024)]:
+        a_ref, _, l_ref = _block_attn(
+            q, k, v, jnp.asarray(q_off), jnp.asarray(k_off), d**-0.5, True,
+            use_flash=False,
+        )
+        a, _, l = flash_attention_partial(
+            q, k, v, jnp.asarray(q_off), jnp.asarray(k_off),
+            causal=True, sm_scale=d**-0.5, neg_inf=NEG_INF,
+        )
+        ls_ref = np.where(np.asarray(l_ref) == 0, 1, np.asarray(l_ref))
+        ls = np.where(np.asarray(l) == 0, 1, np.asarray(l))
+        worst = max(worst, _err(np.asarray(a) / ls[..., None],
+                                np.asarray(a_ref) / ls_ref[..., None]))
+    return worst
+
+
+def ring_flash_one_device():
+    """ring_attention with the compiled kernel on a 1-device TPU mesh."""
+    from streamchat_tpu.ops.attention import _attention_reference
+    from streamchat_tpu.ops.ring_attention import ring_attention
+    from streamchat_tpu.parallel import make_mesh
+
+    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+    b, h, s, d = 1, 8, 1024, 128
+    kq, kk, kv = jax.random.split(jax.random.key(3), 3)
+    q = jax.random.normal(kq, (b, h, s, d), jnp.bfloat16)
+    k = jax.random.normal(kk, (b, h, s, d), jnp.bfloat16)
+    v = jax.random.normal(kv, (b, h, s, d), jnp.bfloat16)
+    out = ring_attention(q, k, v, mesh, "model", causal=True, use_flash=True)
+    ref = _attention_reference(q, k, v, causal=True, sm_scale=d**-0.5)
+    return _err(out, ref)
+
+
+def paged_generation_exact():
+    """generate_paged greedy == contiguous generate greedy, on chip."""
+    from streamchat_tpu.config import DecoderConfig
+    from streamchat_tpu.models import decoder
+    from streamchat_tpu.models.generate import generate
+    from streamchat_tpu.models.generate_paged import generate_paged
+
+    cfg = DecoderConfig.tiny()
+    params = decoder.init(jax.random.key(0), cfg, jnp.float32)
+    ids = jax.random.randint(jax.random.key(1), (1, 24), 0, cfg.vocab_size)
+    embeds = decoder.embed_tokens(params, ids)
+    length = jnp.array([24], jnp.int32)
+    kw = dict(max_new_tokens=8, temperature=0.0)
+    t1, _ = generate(params, cfg, embeds, length, jax.random.key(2), **kw)
+    t2, _ = generate_paged(params, cfg, embeds, length, jax.random.key(2),
+                           page_size=16, **kw)
+    return float(np.max(np.abs(np.asarray(t1) - np.asarray(t2))))
+
+
+def main():
+    if jax.default_backend() != "tpu":
+        print("SKIP: not on a TPU backend")
+        return 0
+    ok = True
+    ok &= check("flash_decoder_prefill(4k,GQA)", flash_decoder_prefill, 2e-2)
+    ok &= check("flash_vit(577,non-causal)", flash_vit_shape, 2e-2)
+    ok &= check("flash_partial_ring_block", flash_partial_vs_xla_block, 2e-2)
+    ok &= check("ring_flash_1dev_mesh", ring_flash_one_device, 2e-2)
+    ok &= check("paged_generation_token_exact", paged_generation_exact, 0.0)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -37,6 +37,18 @@ class SamplingConfig:
     top_p: Optional[float] = None
     num_beams: int = 1
     # Per-role token budgets (inference_streaming_longva_v2.py:149,256; utiles.py:555,604).
+
+    def __post_init__(self):
+        # Beam search is deliberately unimplemented: every reference call
+        # site runs num_beams=1 (inference_streaming_longva_v2.py:74 parses
+        # the flag; no generate call forwards >1). Fail loudly instead of
+        # silently decoding greedily.
+        if self.num_beams != 1:
+            raise NotImplementedError(
+                f"num_beams={self.num_beams}: beam search is not implemented "
+                "(the reference never exercises it either); use num_beams=1"
+            )
+
     max_answer_tokens: int = 256
     max_answer_tokens_unimodal: int = 512
     max_caption_tokens: int = 128
@@ -103,6 +115,10 @@ class PipelineConfig:
     conv_mode: str = "qwen_1_5"
     mode: str = "off_line"
     multi_modal_memory: bool = True
+    # --ppl: persist teacher-forced NLL/perplexity of each ground-truth
+    # answer alongside the prediction (reference threads args.ppl at
+    # inference_streaming_longva_v2.py:908-910 with dead bookkeeping).
+    ppl: bool = False
     seed: int = 0
 
     def replace(self, **kw) -> "PipelineConfig":

@@ -137,11 +137,17 @@ def judge_predictions(
             outputs = generate(prompts)
         for pred, text in zip(batch, outputs):
             verdict = parse_judge_output(text)
-            if verdict is None:
-                log.warning("unparseable judge output for question %r", pred[q_key])
-                verdict = {"llama_pred": "no", "score": 0}
             rec = dict(pred)
-            rec.update(verdict)
+            if verdict is None:
+                # Do NOT coerce to {'no', 0}: that would deflate accuracy
+                # relative to the reference (which crashes on unparseable
+                # output, eval_video_qa_with_llama3_ours.py:158-162). The
+                # row is marked and scoring excludes it from the yes/no
+                # denominator, reporting an unparseable count instead.
+                log.warning("unparseable judge output for question %r", pred[q_key])
+                rec["judge_parse_error"] = True
+            else:
+                rec.update(verdict)
             results.append(rec)
             if out_file:
                 out_file.write(json.dumps(rec) + "\n")

@@ -31,7 +31,15 @@ def aggregate_scores(results: Iterable[dict]) -> Dict:
     count = 0
     yes = 0
     no = 0
+    unparseable = 0
     for r in results:
+        if r.get("judge_parse_error"):
+            # Rows the judge failed to emit a parseable verdict for are
+            # EXCLUDED from the yes/no denominator and the score mean —
+            # coercing them to no/0 would redefine the metric vs the
+            # reference (which crashes instead). Their count is reported.
+            unparseable += 1
+            continue
         try:
             score_sum += int(r["score"])
             count += 1
@@ -45,6 +53,7 @@ def aggregate_scores(results: Iterable[dict]) -> Dict:
     return {
         "Yes count": yes,
         "No count": no,
+        "Unparseable count": unparseable,
         "Accuracy": yes / (yes + no) if (yes + no) else 0.0,
         "Average score": score_sum / count if count else 0.0,
     }

@@ -118,10 +118,22 @@ def init(key: jax.Array, cfg: DecoderConfig, dtype=jnp.bfloat16) -> Params:
 
 
 def _proj(x, p):
-    y = x @ p["w"]
+    from streamchat_tpu.ops.quant import qmatmul
+
+    # p is either {"w": [in,out](, "b")} or the int8 weight-only form
+    # {"w_i8": int8, "scale": f32(, "b")} (ops/quant.py) — decode reads the
+    # full parameter set per token, so int8 halves the HBM-roofline latency.
+    y = qmatmul(x, p) if "w_i8" in p else x @ p["w"]
     if "b" in p:
         y = y + p["b"]
     return y
+
+
+def _mm(x, w):
+    """x @ w where w may be a plain array or a quantized dict."""
+    from streamchat_tpu.ops.quant import matmul_any
+
+    return matmul_any(x, w)
 
 
 def _layer(
@@ -169,8 +181,8 @@ def _layer(
     x = x + _proj(o, p["attn"]["o"])
 
     h = rmsnorm(x, p["post_norm"], cfg.rms_eps)
-    gated = jax.nn.silu((h @ p["mlp"]["gate"]).astype(jnp.float32)).astype(h.dtype)
-    x = x + (gated * (h @ p["mlp"]["up"])) @ p["mlp"]["down"]
+    gated = jax.nn.silu(_mm(h, p["mlp"]["gate"]).astype(jnp.float32)).astype(h.dtype)
+    x = x + _mm(gated * _mm(h, p["mlp"]["up"]), p["mlp"]["down"])
     return x, new_k, new_v
 
 
@@ -207,7 +219,17 @@ def forward(
 
 
 def logits_from_hidden(params: Params, cfg: DecoderConfig, hidden: jnp.ndarray) -> jnp.ndarray:
+    from streamchat_tpu.ops.quant import is_quantized
+
     head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
+    if is_quantized(head):
+        y = jax.lax.dot_general(
+            hidden.astype(jnp.float32),
+            head["w_i8"].astype(jnp.float32),
+            (((hidden.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return y * head["scale"]
     return (hidden.astype(jnp.float32) @ head.astype(jnp.float32))
 
 

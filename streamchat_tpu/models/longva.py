@@ -133,6 +133,17 @@ class LongVA:
         )
         return self
 
+    def quantize(self) -> "LongVA":
+        """Switch the decoder to int8 weight-only storage (ops/quant.py).
+
+        Halves decode's per-token HBM traffic — the measured v5e decode is
+        weight-bandwidth bound, so this is ~2x single-stream decode latency.
+        The ViT/projector stay bf16 (ingest is activation-bound, CLAUDE.md)."""
+        from streamchat_tpu.ops.quant import quantize_decoder_params
+
+        self.dec_params = quantize_decoder_params(self.dec_params)
+        return self
+
     # ------------------------------------------------------------------
     # Vision path
     # ------------------------------------------------------------------

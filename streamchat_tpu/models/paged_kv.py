@@ -249,9 +249,10 @@ def decode_step_paged(
         x = x + decoder._proj(o, p["attn"]["o"])
         hmid = decoder.rmsnorm(x, p["post_norm"], cfg.rms_eps)
         gated = jax.nn.silu(
-            (hmid @ p["mlp"]["gate"]).astype(jnp.float32)
+            decoder._mm(hmid, p["mlp"]["gate"]).astype(jnp.float32)
         ).astype(hmid.dtype)
-        x = x + (gated * (hmid @ p["mlp"]["up"])) @ p["mlp"]["down"]
+        x = x + decoder._mm(gated * decoder._mm(hmid, p["mlp"]["up"]),
+                            p["mlp"]["down"])
 
     x = decoder.rmsnorm(x, params["final_norm"], cfg.rms_eps)
     logits = decoder.logits_from_hidden(params, cfg, x)[:, 0]

@@ -52,6 +52,13 @@ class TextLM:
         self.params = shard_pytree(self.params, decoder_pspecs(self.cfg), mesh)
         return self
 
+    def quantize(self) -> "TextLM":
+        """Int8 weight-only decoder storage (see LongVA.quantize)."""
+        from streamchat_tpu.ops.quant import quantize_decoder_params
+
+        self.params = quantize_decoder_params(self.params)
+        return self
+
     def generate(
         self,
         prompt: str,

@@ -282,3 +282,211 @@ def decode_attention(
     p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("bhgl,bhld->bhgd", p, v_cache.astype(jnp.float32))
     return o.reshape(b, hq, 1, d).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Partial flash attention for ring / USP sequence parallelism
+# ---------------------------------------------------------------------------
+
+
+def _flash_partial_kernel(
+    offsets_ref,           # [2] int32 scalar prefetch: (q_offset, k_offset)
+    length_ref,            # [B] int32 scalar prefetch: valid KV per row
+    q_ref,                 # [1, 1, bq, d]
+    k_ref,                 # [1, 1, bk, d]
+    v_ref,                 # [1, 1, bk, d]
+    o_ref,                 # [1, 1, bq, d] f32 UNNORMALIZED accumulator out
+    m_ref,                 # [1, 1, bq] f32 running max out
+    l_ref,                 # [1, 1, bq] f32 softmax denominator out
+    m_scratch,             # [bq, 128] f32
+    l_scratch,             # [bq, 128] f32
+    acc_scratch,           # [bq, d]  f32
+    *,
+    causal: bool,
+    sm_scale: float,
+    block_q: int,
+    block_k: int,
+    num_kv_blocks: int,
+    neg_inf: float,
+):
+    """Flash tile pass that emits (acc, m, l) instead of normalized output.
+
+    The ring merge (ops/ring_attention._ring_body) rescales partials across
+    devices — the same job the reference does in dedicated Triton kernels
+    (vila/train/sequence_parallel/ring/triton_utils.py). Causal masking uses
+    GLOBAL positions via the prefetched (q_offset, k_offset) of this shard
+    pair, so one compiled kernel serves every ring step.
+    """
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    kj = pl.program_id(3)
+
+    @pl.when(kj == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    kv_len = length_ref[b]
+    q_off = offsets_ref[0]
+    k_off = offsets_ref[1]
+
+    # Skip KV tiles entirely above the (global) causal diagonal or past kv_len.
+    if causal:
+        diag_ok = q_off + (qi + 1) * block_q - 1 >= k_off + kj * block_k
+    else:
+        diag_ok = True
+    live = jnp.logical_and(diag_ok, kj * block_k < kv_len)
+
+    @pl.when(live)
+    def _run():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + qi * block_q
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kj * block_k
+        mask = col < kv_len
+        if causal:
+            mask = jnp.logical_and(mask, k_off + col <= q_off + row)
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scratch[...]
+        l_prev = l_scratch[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        # Rows with every key masked in EVERY tile so far would accumulate
+        # exp(DMV - DMV) = 1 poison that never washes out when the row stays
+        # fully masked for the whole shard pair (common in ring: a diagonal
+        # shard's top rows). Zero them explicitly.
+        p = jnp.where((m_next[:, :1] > DEFAULT_MASK_VALUE / 2), p, 0.0)
+        l_scratch[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scratch[...] = m_next
+
+        v = v_ref[0, 0]
+        acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(kj == num_kv_blocks - 1)
+    def _store():
+        # Clamp -inf / DMV to the ring's finite NEG_INF so the cross-device
+        # exp(m - new_m) rescale stays well-defined for all-masked rows.
+        # m/l outputs are [bq, 128] broadcast copies (every scratch column is
+        # identical): a [bq]-shaped output block would violate the TPU (8,
+        # 128) tile rule on its last two dims; the caller slices lane 0.
+        m_ref[0, 0] = jnp.maximum(m_scratch[...], neg_inf)
+        l_ref[0, 0] = l_scratch[...]
+        o_ref[0, 0] = acc_scratch[...].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "causal", "sm_scale", "block_q", "block_k", "interpret", "neg_inf"
+    ),
+)
+def flash_attention_partial(
+    q: jnp.ndarray,            # [B, H, Sq, D]
+    k: jnp.ndarray,            # [B, Hkv, Sk, D]
+    v: jnp.ndarray,
+    q_offset: jnp.ndarray,     # [] global index of q's first row
+    k_offset: jnp.ndarray,     # [] global index of k's first row
+    kv_length: jnp.ndarray | None = None,
+    *,
+    causal: bool = True,
+    sm_scale: float | None = None,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+    neg_inf: float = -1e30,
+):
+    """One ring step's partial attention -> (acc f32 [B,H,Sq,D], m, l [B,H,Sq]).
+
+    acc is UNNORMALIZED (sum of p*v with p relative to this shard's running
+    max m); callers merge shards with the online-softmax rescale and divide
+    by the merged l at the end. Sequence dims must be 128-multiples.
+    """
+    b, hq, sq, d = q.shape
+    _, hkv, sk, _ = k.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    if kv_length is None:
+        kv_length = jnp.full((b,), sk, dtype=jnp.int32)
+    if sq % 128 or sk % 128:
+        raise ValueError(f"partial flash needs 128-multiple seqs, got ({sq},{sk})")
+
+    def pick_block(requested: int, s: int) -> int:
+        blk = min(requested, s)
+        while blk > 128 and s % blk:
+            blk //= 2
+        return blk if s % blk == 0 else s
+
+    block_q = pick_block(block_q, sq)
+    block_k = pick_block(block_k, sk)
+    grid = (b, hq, sq // block_q, sk // block_k)
+    q_per_kv = hq // hkv
+
+    kernel = functools.partial(
+        _flash_partial_kernel,
+        causal=causal,
+        sm_scale=sm_scale,
+        block_q=block_q,
+        block_k=block_k,
+        num_kv_blocks=sk // block_k,
+        neg_inf=neg_inf,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j, *_: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b, h, i, j, *_: (b, h // q_per_kv, j, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b, h, i, j, *_: (b, h // q_per_kv, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b, h, i, j, *_: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, 128), lambda b, h, i, j, *_: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, 128), lambda b, h, i, j, *_: (b, h, i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+    )
+    offsets = jnp.stack(
+        [jnp.asarray(q_offset, jnp.int32), jnp.asarray(k_offset, jnp.int32)]
+    )
+    # Under shard_map's per-axis type system the outputs must declare which
+    # mesh axes they vary over, and every operand must carry the SAME vma
+    # (the kernel body mixes them): take the union of all inputs' vmas and
+    # pvary the stragglers up to it (e.g. a default kv_length built here is
+    # unvarying while the ring offsets vary over the sequence axis).
+    vma = frozenset()
+    for x in (q, k, v, offsets, kv_length):
+        vma = vma | getattr(jax.typeof(x), "vma", frozenset())
+
+    def _pv(x):
+        missing = tuple(vma - getattr(jax.typeof(x), "vma", frozenset()))
+        return jax.lax.pvary(x, missing) if missing else x
+
+    q, k, v, offsets, kv_length = map(_pv, (q, k, v, offsets, kv_length))
+    acc, m, l = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, sq, d), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((b, hq, sq, 128), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((b, hq, sq, 128), jnp.float32, vma=vma),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(offsets, kv_length.astype(jnp.int32), q, k, v)
+    return acc, m[..., 0], l[..., 0]

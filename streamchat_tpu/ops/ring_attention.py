@@ -13,9 +13,12 @@ Causal masking works on GLOBAL positions: each device owns a contiguous
 sequence shard and masks by absolute query/key indices, so the result is
 bitwise-equivalent in structure to single-device causal attention.
 
-The per-step block attention is plain XLA (fuses fine at block sizes that
-fit one chip); the Pallas flash kernel can slot into `_block_attn` later
-without changing the collective structure.
+The per-step block attention dispatches to the Pallas flash kernel on TPU
+(`ops.attention.flash_attention_partial` — global-position causal masking
+via scalar prefetch, unnormalized (acc, m, l) out so the ring merge below
+rescales across devices exactly like the single-kernel online softmax);
+CPU meshes and ragged shard lengths keep the plain-XLA block attention,
+which also serves as the exactness oracle in tests.
 """
 
 from __future__ import annotations
@@ -30,6 +33,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 NEG_INF = -1e30
 
 
+def _use_flash(use_flash: Optional[bool], sq: int, sk: int) -> bool:
+    """Resolve the tri-state flash flag: None = auto (TPU backend and
+    128-aligned shard lengths, which the Pallas tiles require)."""
+    aligned = sq % 128 == 0 and sk % 128 == 0
+    if use_flash is None:
+        return jax.default_backend() == "tpu" and aligned
+    return use_flash and aligned
+
+
 def _block_attn(
     q: jnp.ndarray,          # [B, H, Sq, D] (local queries)
     k: jnp.ndarray,          # [B, Hkv, Sk, D] (one ring block of keys)
@@ -38,8 +50,18 @@ def _block_attn(
     k_offset: jnp.ndarray,   # [] global index of the block's first key
     sm_scale: float,
     causal: bool,
+    use_flash: Optional[bool] = None,
+    interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Partial attention vs one KV block: (acc [B,H,Sq,D] f32, m, l)."""
+    if _use_flash(use_flash, q.shape[2], k.shape[2]):
+        from streamchat_tpu.ops.attention import flash_attention_partial
+
+        return flash_attention_partial(
+            q, k, v, q_offset, k_offset,
+            causal=causal, sm_scale=sm_scale,
+            interpret=interpret, neg_inf=NEG_INF,
+        )
     b, hq, sq, d = q.shape
     hkv = k.shape[1]
     if hq != hkv:
@@ -62,7 +84,8 @@ def _block_attn(
 
 
 def _ring_body(axis_name: str, causal: bool, sm_scale: float,
-               q, k, v, q_offset, shard_len):
+               q, k, v, q_offset, shard_len,
+               use_flash: Optional[bool] = None, interpret: bool = False):
     """shard_map body: everything is a per-device block here."""
     n_dev = jax.lax.psum(1, axis_name)
     my_idx = jax.lax.axis_index(axis_name)
@@ -71,7 +94,8 @@ def _ring_body(axis_name: str, causal: bool, sm_scale: float,
     def step_fn(carry, _):
         k_blk, v_blk, k_idx, acc, m, l = carry
         k_off = k_idx * shard_len
-        a, bm, bl = _block_attn(q, k_blk, v_blk, q_offset, k_off, sm_scale, causal)
+        a, bm, bl = _block_attn(q, k_blk, v_blk, q_offset, k_off, sm_scale,
+                                causal, use_flash, interpret)
         new_m = jnp.maximum(m, bm)
         # NEG_INF is finite, so these rescales are well-defined even for
         # rows that have seen no unmasked key yet (the reference does this
@@ -110,11 +134,16 @@ def ring_attention(
     *,
     causal: bool = True,
     sm_scale: Optional[float] = None,
+    use_flash: Optional[bool] = None,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Exact attention with the sequence sharded over `axis_name`.
 
     q [B, H, S, D], k/v [B, Hkv, S, D] with S divisible by the axis size.
     Each device holds S/n contiguous tokens; K/V travel the ring once.
+
+    use_flash: None = auto (Pallas kernel per ring step on TPU, XLA on CPU);
+    interpret runs the kernel in interpreter mode (CPU numerics tests).
     """
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
@@ -130,12 +159,16 @@ def ring_attention(
         my_idx = jax.lax.axis_index(axis_name)
         q_offset = my_idx * shard_len
         return _ring_body(axis_name, causal, sm_scale, q_l, k_l, v_l,
-                          q_offset, shard_len)
+                          q_offset, shard_len, use_flash, interpret)
 
     fn = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(seq_spec, seq_spec, seq_spec),
         out_specs=seq_spec,
+        # Pallas's interpret-mode jaxpr evaluator trips shard_map's per-axis
+        # type checks on kernel-internal constants (JAX's own message says
+        # to pass check_vma=False); the compiled TPU path keeps full checks.
+        check_vma=not interpret,
     )
     return fn(q, k, v)

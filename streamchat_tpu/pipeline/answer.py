@@ -25,6 +25,13 @@ class AnswerResult:
     output: str
     process_time: float          # retrieval + prompt assembly (reference :160)
     generate_time: float
+    # Teacher-forced label scoring (--ppl): mean NLL and perplexity of the
+    # ground-truth answer under the same spliced prompt. The reference parses
+    # args.ppl into its inference call (inference_streaming_longva_v2.py:
+    # 908-910) but its bookkeeping is commented out; here the numbers are
+    # actually produced and persisted.
+    nll: Optional[float] = None
+    ppl: Optional[float] = None
 
 
 def answer_question(
@@ -36,6 +43,7 @@ def answer_question(
     history_prompt: Optional[str],
     sampling: SamplingConfig,
     conv_mode: str = "qwen_1_5",
+    ppl_target: Optional[str] = None,
 ) -> AnswerResult:
     t0 = time.time()
     short_flat = short_memory.reshape(-1, short_memory.shape[-1])
@@ -63,7 +71,14 @@ def answer_question(
         top_p=sampling.top_p,
     )
     t2 = time.time()
-    return AnswerResult(output, t1 - t0, t2 - t1)
+    nll, ppl = _maybe_score(model, prompt, [image_embeddings], ppl_target)
+    return AnswerResult(output, t1 - t0, t2 - t1, nll=nll, ppl=ppl)
+
+
+def _maybe_score(model, prompt, image_embeddings, ppl_target):
+    if ppl_target is None:
+        return None, None
+    return model.score_with_image_embedding(prompt, ppl_target, image_embeddings)
 
 
 def answer_question_unimodal(
@@ -74,6 +89,7 @@ def answer_question_unimodal(
     history_prompt: Optional[str],
     sampling: SamplingConfig,
     conv_mode: str = "qwen_1_5",
+    ppl_target: Optional[str] = None,
 ) -> AnswerResult:
     """Uni-modal variant (`longva_inference_with_embedding`, reference
     :89-162): no caption text in the prompt, feature-space tree search with
@@ -104,7 +120,8 @@ def answer_question_unimodal(
         top_p=sampling.top_p,
     )
     t2 = time.time()
-    return AnswerResult(output, t1 - t0, t2 - t1)
+    nll, ppl = _maybe_score(model, prompt, [image_embeddings], ppl_target)
+    return AnswerResult(output, t1 - t0, t2 - t1, nll=nll, ppl=ppl)
 
 
 def make_captioner(model, sampling: SamplingConfig):

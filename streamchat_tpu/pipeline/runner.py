@@ -34,6 +34,7 @@ from streamchat_tpu.ops.kmeans import weighted_kmeans_feature
 from streamchat_tpu.pipeline import prompts
 from streamchat_tpu.pipeline.answer import (
     answer_question,
+    answer_question_unimodal,
     make_captioner,
     make_summarizer,
 )
@@ -156,16 +157,7 @@ class StreamChatPipeline:
             history_prompt = self._history_prompt(memory_index, q["question"])
 
             with timer.phase("answer"):
-                res = answer_question(
-                    q["question"],
-                    self.model,
-                    self.embed_query,
-                    short_memory,
-                    tree,
-                    history_prompt,
-                    self.cfg.sampling,
-                    self.cfg.conv_mode,
-                )
+                res = self._answer(q, short_memory, tree, history_prompt)
             memory_index = self._record_and_store(
                 results, q, end_s, res, bank, user_name, save_file
             )
@@ -175,6 +167,24 @@ class StreamChatPipeline:
         })
         self.last_tree = tree   # exposed for persistence / inspection
         return results
+
+    def _answer(self, q, short_memory, tree, history_prompt):
+        """Dispatch multi-modal vs uni-modal answering and optional label
+        scoring, mirroring the reference's `args.multi_modal_memory` /
+        `args.ppl` threading (inference_streaming_longva_v2.py:881,908-910 —
+        where the unimodal branch and the ppl flag are parsed but the ppl
+        bookkeeping is dead; here both produce live results)."""
+        ppl_target = q.get("answer") if self.cfg.ppl else None
+        if self.cfg.multi_modal_memory:
+            return answer_question(
+                q["question"], self.model, self.embed_query,
+                short_memory, tree, history_prompt,
+                self.cfg.sampling, self.cfg.conv_mode, ppl_target=ppl_target,
+            )
+        return answer_question_unimodal(
+            q["question"], self.model, short_memory, tree, history_prompt,
+            self.cfg.sampling, self.cfg.conv_mode, ppl_target=ppl_target,
+        )
 
     def _history_prompt(self, memory_index, question: str):
         """Retrieved-dialogue meta prompt (reference :647 + utiles.py:1057)."""
@@ -201,6 +211,9 @@ class StreamChatPipeline:
             "class": q.get("class"),
             "process_time": res.process_time,
         }
+        if res.nll is not None:
+            record["nll"] = res.nll
+            record["ppl"] = res.ppl
         results.append(record)
         if save_file:
             _append_result(save_file, record)
@@ -246,11 +259,7 @@ class StreamChatPipeline:
                 history_prompt = self._history_prompt(memory_index, q["question"])
 
                 def answer(short, tree, q=q, history_prompt=history_prompt):
-                    return answer_question(
-                        q["question"], self.model, self.embed_query,
-                        short, tree, history_prompt,
-                        self.cfg.sampling, self.cfg.conv_mode,
-                    )
+                    return self._answer(q, short, tree, history_prompt)
 
                 # Only the genuinely-empty-stream case skips; worker errors
                 # must surface (a bare except here once swallowed captioner
@@ -447,6 +456,7 @@ def config_from_args(args) -> PipelineConfig:
         conv_mode=args.conv_mode,
         mode=args.mode,
         multi_modal_memory=args.multi_modal_memory,
+        ppl=args.ppl,
     )
 
 

@@ -81,9 +81,26 @@ class TestJudgeLoop:
         assert results[0]["question"] == "Q1"
         assert read_jsonl(out_path) == results
 
-    def test_unparseable_defaults_to_no(self):
+    def test_unparseable_marked_and_excluded(self):
+        """Unparseable judge output must NOT coerce to no/0 (that deflates
+        accuracy vs the reference, which crashes): the row is marked and
+        scoring drops it from the yes/no denominator (VERDICT r1 item 10)."""
         results = judge_predictions(PREDICTIONS[:1], lambda p: "garbage")
-        assert results[0]["llama_pred"] == "no" and results[0]["score"] == 0
+        assert results[0]["judge_parse_error"] is True
+        assert "llama_pred" not in results[0] and "score" not in results[0]
+
+        judged = results + [
+            {"llama_pred": "yes", "score": 5},
+            {"llama_pred": "no", "score": 1},
+        ]
+        stats = aggregate_scores(judged)
+        assert stats["Unparseable count"] == 1
+        assert stats["Yes count"] == 1 and stats["No count"] == 1
+        assert stats["Accuracy"] == pytest.approx(0.5)       # not 1/3
+        assert stats["Average score"] == pytest.approx(3.0)  # not 2.0
+        # Per-class breakdown likewise skips the marked row.
+        b = per_class_breakdown(judged)
+        assert "OCP" not in b["classes"]
 
 
 class TestScoring:
@@ -140,7 +157,12 @@ class TestTextLM:
         ])
         rows = read_jsonl(str(tmp_path / "judged.jsonl"))
         assert len(rows) == 1
-        assert "llama_pred" in rows[0] and "score" in rows[0]
+        # Tiny random weights emit gibberish: the row either parsed into a
+        # verdict or is explicitly marked unparseable — never silently no/0.
+        assert (
+            ("llama_pred" in rows[0] and "score" in rows[0])
+            or rows[0].get("judge_parse_error") is True
+        )
 
 
 class TestBatchedJudge:

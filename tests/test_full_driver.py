@@ -81,7 +81,12 @@ def test_three_stage_driver(bench_dir):
     ])
     judged = scoring_mod.read_jsonl(str(bench_dir / "merged.jsonl"))
     assert len(judged) == 4
-    assert all("llama_pred" in r and "score" in r for r in judged)
+    # Tiny random judge weights emit gibberish: every row either parsed into
+    # a verdict or is explicitly marked unparseable (never coerced to no/0).
+    assert all(
+        ("llama_pred" in r and "score" in r) or r.get("judge_parse_error")
+        for r in judged
+    )
 
     # Stage 3: score aggregation.
     scoring_mod.main([
@@ -90,7 +95,11 @@ def test_three_stage_driver(bench_dir):
     ])
     res = json.load(open(bench_dir / "merged_res.json", encoding="utf-8"))
     keys = {k for d in res for k in d}
-    assert keys == {"Yes count", "No count", "Accuracy", "Average score"}
+    assert keys == {"Yes count", "No count", "Unparseable count",
+                    "Accuracy", "Average score"}
+    # Unparseable rows are excluded from the denominator, not counted as no.
+    stats = {k: v for d in res for k, v in d.items()}
+    assert stats["Yes count"] + stats["No count"] + stats["Unparseable count"] <= 4
 
     # Resume semantics: --start skips already-processed annotations.
     runner_mod.main([

@@ -89,9 +89,24 @@ def test_process_video_end_to_end(tiny_pipeline, tmp_path):
     turns = sum(len(v) for v in mem["User"]["history"].values())
     assert turns == 2
 
-    # Long-term tree grew (30 frames/segment, chunk_size 8 -> 4 chunks per
-    # segment, interval 2 -> merges happened).
-    # process_video builds a fresh tree internally; re-run with handle access:
+    # Long-term tree grew (30 frames/segment at sample_rate 0.5 -> 15
+    # sampled frames/segment, chunk_size 8 -> chunks formed; interval 2 ->
+    # summarize/merge fired). process_video exposes the final tree handle.
+    tree = tiny_pipeline.last_tree
+    assert len(tree) >= 1, "visual memory tree never grew"
+    # Every root carries a searchable cached caption embedding (captions
+    # themselves may be empty strings under tiny random weights — greedy
+    # decode can emit EOS immediately).
+    assert all(n.emb is not None for n in tree.roots)
+    # 2 segments x 15 sampled frames / chunk_size 8 = 4 chunks entered;
+    # interval 2 means a merge fired, so roots < chunks while total content
+    # (merged subtrees included) accounts for all 4.
+    def _count(nodes):
+        return sum(1 + _count(n.children) for n in nodes)
+    assert _count(tree.roots) >= 4
+    assert any(n.depth > 0 for n in tree.roots), "no summarize-merge fired"
+    feats, texts = tree.search(tiny_pipeline.embed_query("what happened?"))
+    assert feats and texts
 
 
 def test_runner_cli_smoke(tiny_pipeline, tmp_path, monkeypatch):
@@ -181,3 +196,115 @@ def test_process_video_online(tiny_pipeline, tmp_path):
     assert all(isinstance(r["predict"], str) for r in results)
     # Tree persisted for inspection; grew across segments.
     assert len(tiny_pipeline.last_tree) >= 1
+
+
+def _fresh_pipeline(cfg_kw=None, sampling_kw=None):
+    """Independent pipeline with a fixed seed (fixture shares key state)."""
+    from streamchat_tpu.config import PipelineConfig
+
+    key = jax.random.key(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    dec_cfg = DecoderConfig.tiny()
+    model = LongVA.init_random(
+        k1, ViTConfig.tiny(projection_dim=dec_cfg.hidden_size), dec_cfg
+    )
+    cfg = PipelineConfig(
+        memory=MemoryConfig(
+            chunk_size=8, num_clusters=2, interval=2,
+            short_window=6, remember_window=3, tau=5.0,
+        ),
+        sampling=SamplingConfig(
+            temperature=0.0, caption_temperature=0.0,
+            max_answer_tokens=4, max_caption_tokens=4, max_summary_tokens=4,
+            **(sampling_kw or {}),
+        ),
+        video=VideoConfig(sample_rate=0.1, image_size=56),
+        **(cfg_kw or {}),
+    )
+    tree_emb = TextEmbedder.init_random(k2, BertConfig.tiny())
+    bank_emb = TextEmbedder.init_random(
+        k3, dataclasses.replace(BertConfig.tiny(), pooling="mean")
+    )
+    return StreamChatPipeline(model, tree_emb, bank_emb, cfg)
+
+
+def test_online_matches_offline_first_round(tmp_path):
+    """At temperature 0, in the regime where on_line and off_line semantics
+    coincide (first breakpoint: the persistent FIFO equals the per-segment
+    window; partial chunks skip k-means so no PRNG is consumed), the two
+    modes must produce the SAME answer (VERDICT r1 item 9)."""
+    bp = [{"question": "What is happening?", "answer": "x", "class": "OCP",
+           "time": 1}]
+    outs = {}
+    for mode in ("off_line", "on_line"):
+        pipe = _fresh_pipeline()
+        reader = SyntheticVideoReader(
+            total_frames=40, frame_rate=30.0, height=56, width=56
+        )
+        bank = MemoryBank(
+            str(tmp_path / f"mem_{mode}.json"),
+            lambda t: pipe.bank_embedder.embed(t),
+        )
+        process = (
+            pipe.process_video_online if mode == "on_line"
+            else pipe.process_video
+        )
+        results = process(reader, bp, bank, user_name="User")
+        assert len(results) == 1
+        outs[mode] = results[0]["predict"]
+    assert outs["off_line"] == outs["on_line"]
+
+
+def test_ppl_flag_persists_label_scores(tmp_path):
+    """--ppl: records carry finite nll/ppl of the ground-truth answer."""
+    import math
+
+    pipe = _fresh_pipeline(cfg_kw={"ppl": True})
+    reader = SyntheticVideoReader(total_frames=90, frame_rate=30.0,
+                                  height=56, width=56)
+    bank = MemoryBank(
+        str(tmp_path / "mem_ppl.json"), lambda t: pipe.bank_embedder.embed(t)
+    )
+    save = str(tmp_path / "res_ppl.json")
+    results = pipe.process_video(reader, BREAKPOINTS[:1], bank,
+                                 user_name="User", save_file=save)
+    rec = results[0]
+    assert math.isfinite(rec["nll"]) and rec["nll"] > 0
+    assert rec["ppl"] == pytest.approx(math.exp(rec["nll"]), rel=1e-5)
+    stored = json.load(open(save, encoding="utf-8"))
+    assert stored[0]["ppl"] == rec["ppl"]
+
+
+def test_unimodal_dispatch(tmp_path):
+    """multi_modal_memory=False routes through answer_question_unimodal."""
+    from streamchat_tpu.pipeline import answer as answer_mod
+
+    pipe = _fresh_pipeline(cfg_kw={"multi_modal_memory": False})
+    reader = SyntheticVideoReader(total_frames=90, frame_rate=30.0,
+                                  height=56, width=56)
+    bank = MemoryBank(
+        str(tmp_path / "mem_uni.json"), lambda t: pipe.bank_embedder.embed(t)
+    )
+    called = []
+    orig = answer_mod.answer_question_unimodal
+
+    def spy(*a, **kw):
+        called.append(1)
+        return orig(*a, **kw)
+
+    import streamchat_tpu.pipeline.runner as runner_mod
+    old = runner_mod.answer_question_unimodal
+    runner_mod.answer_question_unimodal = spy
+    try:
+        results = pipe.process_video(reader, BREAKPOINTS[:1], bank,
+                                     user_name="User")
+    finally:
+        runner_mod.answer_question_unimodal = old
+    assert called and len(results) == 1
+
+
+def test_num_beams_rejected():
+    """Beam search is unimplemented: num_beams>1 must fail loudly, not decode
+    greedily in silence (VERDICT r1 item 5)."""
+    with pytest.raises(NotImplementedError, match="num_beams"):
+        SamplingConfig(num_beams=4)

@@ -1,0 +1,114 @@
+"""Weight-only int8 quantization (ops/quant.py) and its decoder integration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from streamchat_tpu.config import DecoderConfig
+from streamchat_tpu.models import decoder
+from streamchat_tpu.ops.quant import (
+    dequantize_weight,
+    matmul_any,
+    qmatmul,
+    quantize_decoder_params,
+    quantize_weight,
+)
+
+CFG = DecoderConfig.tiny()
+
+
+def test_quantize_roundtrip_error(key):
+    w = jax.random.normal(key, (64, 32)) * 0.1
+    q = quantize_weight(w)
+    assert q["w_i8"].dtype == jnp.int8
+    deq = dequantize_weight(q, jnp.float32)
+    # Per-channel symmetric int8: error bounded by scale/2 per element.
+    bound = np.asarray(q["scale"]) / 2 + 1e-7
+    err = np.max(np.abs(np.asarray(deq) - np.asarray(w)), axis=0)
+    assert np.all(err <= bound)
+
+
+def test_qmatmul_matches_dequantized(key):
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (4, 64), jnp.float32)
+    w = jax.random.normal(k2, (64, 32)) * 0.1
+    q = quantize_weight(w)
+    got = qmatmul(x, q)
+    want = x @ dequantize_weight(q, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+    # matmul_any dispatches both forms.
+    np.testing.assert_allclose(
+        np.asarray(matmul_any(x, q)), np.asarray(got), atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(matmul_any(x, w)), np.asarray(x @ w), atol=0
+    )
+
+
+def test_zero_column_safe():
+    w = jnp.zeros((8, 4))
+    q = quantize_weight(w)
+    assert np.all(np.asarray(dequantize_weight(q)) == 0)
+
+
+@pytest.fixture
+def params(key):
+    return decoder.init(key, CFG, jnp.float32)
+
+
+def test_quantized_prefill_close(params, key):
+    """Full vs int8 prefill logits agree to quantization tolerance."""
+    qparams = quantize_decoder_params(params)
+    assert qparams["layers"][0]["attn"]["q"]["w_i8"].dtype == jnp.int8
+    assert "b" in qparams["layers"][0]["attn"]["q"]  # qkv bias preserved
+    ids = jax.random.randint(key, (1, 16), 0, CFG.vocab_size)
+    embeds = decoder.embed_tokens(params, ids)
+    from streamchat_tpu.models.decoder import KVCache
+
+    lf, _ = decoder.prefill(
+        params, CFG, embeds, KVCache.create(CFG, 1, 32, dtype=jnp.float32),
+        jnp.array([16], jnp.int32),
+    )
+    lq, _ = decoder.prefill(
+        qparams, CFG, embeds, KVCache.create(CFG, 1, 32, dtype=jnp.float32),
+        jnp.array([16], jnp.int32),
+    )
+    # int8 per-channel on a 2-layer tiny model: logits stay well correlated.
+    a, b = np.asarray(lf[0]), np.asarray(lq[0])
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.99
+
+
+def test_quantized_generate_runs(params, key):
+    """Both decode paths (contiguous fused loop + paged) run on int8."""
+    from streamchat_tpu.models.generate import generate
+    from streamchat_tpu.models.generate_paged import generate_paged
+
+    qparams = quantize_decoder_params(params)
+    ids = jax.random.randint(key, (1, 12), 0, CFG.vocab_size)
+    embeds = decoder.embed_tokens(qparams, ids)
+    length = jnp.array([12], jnp.int32)
+    kw = dict(max_new_tokens=6, temperature=0.0)
+    t1, c1 = generate(qparams, CFG, embeds, length, jax.random.key(0), **kw)
+    t2, c2 = generate_paged(
+        qparams, CFG, embeds, length, jax.random.key(0), page_size=16, **kw
+    )
+    assert t1.shape == (1, 6)
+    # Paged and contiguous must stay token-exact under quantization too.
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_longva_quantize_facade(key):
+    from streamchat_tpu.config import ViTConfig
+    from streamchat_tpu.models.longva import LongVA
+
+    model = LongVA.init_random(
+        key, ViTConfig.tiny(projection_dim=CFG.hidden_size), CFG,
+        dtype=jnp.float32,
+    ).quantize()
+    feats = jax.random.normal(jax.random.key(1), (4, CFG.hidden_size))
+    out = model.generate_with_image_embedding(
+        "what is <image>?", [feats], max_new_tokens=4, temperature=0.0
+    )
+    assert isinstance(out, str)

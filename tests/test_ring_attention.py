@@ -42,3 +42,65 @@ def test_rejects_indivisible(mesh, key):
     q = jnp.zeros((1, 2, 30, 8))
     with pytest.raises(ValueError):
         ring_attention(q, q, q, mesh, "model")
+
+
+class TestFlashBlockPath:
+    """The Pallas partial kernel slotted into _block_attn (interpret mode on
+    CPU; on TPU the backend check enables it automatically)."""
+
+    def test_partial_kernel_matches_xla_block(self, key):
+        """flash_attention_partial's (acc, m, l) vs the XLA _block_attn."""
+        from streamchat_tpu.ops.attention import flash_attention_partial
+        from streamchat_tpu.ops.ring_attention import NEG_INF, _block_attn
+
+        b, h, sq, sk, d = 1, 2, 128, 128, 16
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (b, h, sq, d))
+        k = jax.random.normal(kk, (b, h, sk, d))
+        v = jax.random.normal(kv, (b, h, sk, d))
+        for q_off, k_off in [(0, 0), (128, 0), (0, 128)]:
+            a_ref, m_ref, l_ref = _block_attn(
+                q, k, v, jnp.asarray(q_off), jnp.asarray(k_off),
+                d**-0.5, True, use_flash=False,
+            )
+            a, m, l = flash_attention_partial(
+                q, k, v, jnp.asarray(q_off), jnp.asarray(k_off),
+                causal=True, sm_scale=d**-0.5, interpret=True, neg_inf=NEG_INF,
+            )
+            # acc values are only defined up to the per-row max subtraction;
+            # compare the normalized output and the denominators' ratio.
+            l_safe = np.where(np.asarray(l_ref) == 0, 1, np.asarray(l_ref))
+            l_safe2 = np.where(np.asarray(l) == 0, 1, np.asarray(l))
+            np.testing.assert_allclose(
+                np.asarray(a) / l_safe2[..., None],
+                np.asarray(a_ref) / l_safe[..., None],
+                atol=2e-5,
+            )
+            # Fully-masked rows report zero mass on both paths.
+            np.testing.assert_array_equal(
+                np.asarray(l) == 0, np.asarray(l_ref) == 0
+            )
+
+    @pytest.mark.parametrize("causal", [True, False])
+    def test_ring_with_flash_matches_reference(self, mesh, causal, key):
+        """Full ring with the Pallas per-step kernel (interpret) is exact."""
+        b, h, s, d = 1, 2, 512, 16      # 128 tokens per device on model=4
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (b, h, s, d))
+        k = jax.random.normal(kk, (b, h, s, d))
+        v = jax.random.normal(kv, (b, h, s, d))
+        out = ring_attention(q, k, v, mesh, "model", causal=causal,
+                             use_flash=True, interpret=True)
+        ref = _attention_reference(q, k, v, causal=causal, sm_scale=d**-0.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_ring_flash_gqa(self, mesh, key):
+        b, hq, hkv, s, d = 1, 8, 2, 512, 16
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (b, hq, s, d))
+        k = jax.random.normal(kk, (b, hkv, s, d))
+        v = jax.random.normal(kv, (b, hkv, s, d))
+        out = ring_attention(q, k, v, mesh, "model", causal=True,
+                             use_flash=True, interpret=True)
+        ref = _attention_reference(q, k, v, causal=True, sm_scale=d**-0.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
