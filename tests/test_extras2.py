@@ -124,3 +124,65 @@ class TestMultihost:
         assert host_shard(items, 2, 3) == [8, 9]
         got = [x for i in range(3) for x in host_shard(items, i, 3)]
         assert got == items
+
+
+class TestParametricResamplers:
+    """Perceiver / Q-Former resamplers (reference
+    longva/model/multimodal_resampler/{perceiver,qformer}.py)."""
+
+    def test_perceiver_shapes_and_determinism(self, key):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from streamchat_tpu.models.resampler import build_parametric
+
+        params, apply = build_parametric(
+            "perceiver", key, 64,
+            mm_perceiver_depth=2, mm_perceiver_latents=8,
+            dim_head=16, heads=4,
+        )
+        feats = jax.random.normal(jax.random.key(1), (3, 20, 64))
+        out = apply(params, feats)
+        assert out.shape == (3, 8, 64)
+        np.testing.assert_array_equal(
+            np.asarray(out), np.asarray(apply(params, feats))
+        )
+        assert np.all(np.isfinite(np.asarray(out)))
+        # Latents attend to media: different features -> different output.
+        out2 = apply(params, feats * 2.0)
+        assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+    def test_qformer_shapes_and_cross_freq_quirk(self, key):
+        import jax
+        import numpy as np
+
+        from streamchat_tpu.models.resampler import build_parametric
+
+        # mm_qformer_depth feeds cross_attention_freq (reference
+        # qformer.py:1110), NOT the layer count.
+        params, apply = build_parametric(
+            "qformer", key, 48,
+            mm_qformer_depth=3, mm_qformer_latents=5,
+            hidden=32, num_layers=6, heads=4, intermediate=64,
+        )
+        assert len(params["layers"]) == 6
+        cross_layers = [i for i, p in enumerate(params["layers"]) if "cross" in p]
+        assert cross_layers == [0, 3]          # every 3rd block
+        # Cross K/V project from the VISION width (encoder_width).
+        assert params["layers"][0]["cross"]["k"]["w"].shape == (48, 32)
+
+        feats = jax.random.normal(jax.random.key(1), (2, 30, 48))
+        out = apply(params, feats)
+        assert out.shape == (2, 5, 32)
+        assert np.all(np.isfinite(np.asarray(out)))
+        out2 = apply(params, feats * 3.0)
+        assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+    def test_unknown_parametric_rejected(self, key):
+        import pytest as _pytest
+
+        from streamchat_tpu.models.resampler import build_parametric
+
+        with _pytest.raises(KeyError):
+            build_parametric("pooler", key, 8)
