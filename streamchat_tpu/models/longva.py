@@ -128,8 +128,9 @@ class LongVA:
             self.vit_params, vit_pspecs(self.vit_cfg.num_layers), mesh
         )
         self.proj_params = shard_pytree(self.proj_params, projector_pspecs(), mesh)
+        quantized = "w_i8" in self.dec_params["layers"][0]["attn"]["q"]
         self.dec_params = shard_pytree(
-            self.dec_params, decoder_pspecs(self.dec_cfg), mesh
+            self.dec_params, decoder_pspecs(self.dec_cfg, quantized=quantized), mesh
         )
         return self
 

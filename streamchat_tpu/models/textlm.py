@@ -49,7 +49,10 @@ class TextLM:
         if mesh is None:
             n = len(jax.devices())
             mesh = make_mesh(*best_mesh_shape(n, kv_heads=self.cfg.num_kv_heads))
-        self.params = shard_pytree(self.params, decoder_pspecs(self.cfg), mesh)
+        quantized = "w_i8" in self.params["layers"][0]["attn"]["q"]
+        self.params = shard_pytree(
+            self.params, decoder_pspecs(self.cfg, quantized=quantized), mesh
+        )
         return self
 
     def quantize(self) -> "TextLM":

@@ -28,16 +28,33 @@ from streamchat_tpu.config import DecoderConfig
 from streamchat_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
-def decoder_pspecs(cfg: DecoderConfig, model_axis: str = MODEL_AXIS) -> Dict[str, Any]:
-    """PartitionSpec tree matching `models/decoder.init(cfg)`."""
+def decoder_pspecs(
+    cfg: DecoderConfig,
+    model_axis: str = MODEL_AXIS,
+    quantized: bool = False,
+) -> Dict[str, Any]:
+    """PartitionSpec tree matching `models/decoder.init(cfg)`.
+
+    quantized=True matches the int8 weight-only tree from
+    `ops/quant.quantize_decoder_params`: every {"w": P(a, b)} becomes
+    {"w_i8": P(a, b), "scale": P(<output-dim axis>)} — the per-output-channel
+    scale shards with whatever axis the weight's OUTPUT dim carries (the
+    model axis for column-parallel q/k/v/gate/up/lm_head, replicated for
+    row-parallel o/down whose output dim is unsharded).
+    """
     m = model_axis
+
+    def w(spec_in, spec_out):
+        if quantized:
+            return {"w_i8": P(spec_in, spec_out), "scale": P(spec_out)}
+        return {"w": P(spec_in, spec_out)}
 
     def attn():
         spec = {
-            "q": {"w": P(None, m)},
-            "k": {"w": P(None, m)},
-            "v": {"w": P(None, m)},
-            "o": {"w": P(m, None)},
+            "q": dict(w(None, m)),
+            "k": dict(w(None, m)),
+            "v": dict(w(None, m)),
+            "o": dict(w(m, None)),
         }
         if cfg.qkv_bias:
             spec["q"]["b"] = P(m)
@@ -45,11 +62,17 @@ def decoder_pspecs(cfg: DecoderConfig, model_axis: str = MODEL_AXIS) -> Dict[str
             spec["v"]["b"] = P(m)
         return spec
 
+    def mlp_mat(spec_in, spec_out):
+        # Plain decoder params store mlp matrices as bare arrays (no "w"
+        # wrapper); the quantized tree wraps them like attention does.
+        return w(spec_in, spec_out) if quantized else P(spec_in, spec_out)
+
     layer = {
         "input_norm": P(None),
         "attn": attn(),
         "post_norm": P(None),
-        "mlp": {"gate": P(None, m), "up": P(None, m), "down": P(m, None)},
+        "mlp": {"gate": mlp_mat(None, m), "up": mlp_mat(None, m),
+                "down": mlp_mat(m, None)},
     }
     specs: Dict[str, Any] = {
         "embed": P(m, None),
@@ -57,7 +80,7 @@ def decoder_pspecs(cfg: DecoderConfig, model_axis: str = MODEL_AXIS) -> Dict[str
         "final_norm": P(None),
     }
     if not cfg.tie_embeddings:
-        specs["lm_head"] = P(None, m)
+        specs["lm_head"] = w(None, m) if quantized else P(None, m)
     return specs
 
 

@@ -112,3 +112,30 @@ def test_longva_quantize_facade(key):
         "what is <image>?", [feats], max_new_tokens=4, temperature=0.0
     )
     assert isinstance(out, str)
+
+
+def test_quantized_tp_sharding(key):
+    """Int8 decoder params shard over the (data, model) mesh and generate
+    identically to the unsharded quantized model (greedy)."""
+    from streamchat_tpu.config import ViTConfig
+    from streamchat_tpu.models.longva import LongVA
+    from streamchat_tpu.parallel import make_mesh
+
+    model = LongVA.init_random(
+        key, ViTConfig.tiny(projection_dim=CFG.hidden_size), CFG,
+        dtype=jnp.float32,
+    ).quantize()
+    feats = jax.random.normal(jax.random.key(3), (4, CFG.hidden_size))
+    prompt = "tell me about <image> now"
+    ref = model.generate_with_image_embedding(
+        prompt, [feats], max_new_tokens=5, temperature=0.0
+    )
+    mesh = make_mesh(4, 2)   # tp=2 matches the tiny config's 2 KV heads
+    model.shard(mesh)
+    q0 = model.dec_params["layers"][0]["attn"]["q"]
+    assert "model" in str(q0["w_i8"].sharding.spec)
+    assert "model" in str(q0["scale"].sharding.spec)
+    out = model.generate_with_image_embedding(
+        prompt, [feats], max_new_tokens=5, temperature=0.0
+    )
+    assert out == ref
