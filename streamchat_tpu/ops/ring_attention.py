@@ -172,3 +172,132 @@ def ring_attention(
         check_vma=not interpret,
     )
     return fn(q, k, v)
+
+
+# ---------------------------------------------------------------------------
+# Zigzag ring attention (load-balanced causal ring)
+# ---------------------------------------------------------------------------
+
+
+def zigzag_indices(s: int, n: int) -> jnp.ndarray:
+    """Global permutation for zigzag sharding: device i holds chunks
+    (i, 2n-1-i) of 2n equal chunks. Plain causal ring leaves device i with
+    only i+1 live steps of n (a 2x tail imbalance); pairing the i-th-lowest
+    with the i-th-highest chunk equalizes masked work across devices — the
+    reference's zigzag variant (vila/train/sequence_parallel/ring/, vendored
+    CUDA; SURVEY.md §2.6) rebuilt on the ppermute ring."""
+    c = s // (2 * n)
+    order = []
+    for i in range(n):
+        order.extend(range(i * c, (i + 1) * c))
+        order.extend(range((2 * n - 1 - i) * c, (2 * n - i) * c))
+    return jnp.asarray(order, jnp.int32)
+
+
+def _inverse_permutation(idx: jnp.ndarray) -> jnp.ndarray:
+    inv = jnp.zeros_like(idx)
+    return inv.at[idx].set(jnp.arange(idx.shape[0], dtype=idx.dtype))
+
+
+def _zigzag_body(axis_name: str, causal: bool, sm_scale: float,
+                 q, k, v, chunk_len, n_dev,
+                 use_flash: Optional[bool], interpret: bool):
+    """shard_map body. Local q/k/v hold TWO global chunks: (i, 2n-1-i)."""
+    my_idx = jax.lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    my_offs = jnp.stack([my_idx * chunk_len,
+                         (2 * n_dev - 1 - my_idx) * chunk_len])
+
+    def halves(x):
+        return x[:, :, :chunk_len], x[:, :, chunk_len:]
+
+    q0, q1 = halves(q)
+
+    def step_fn(carry, _):
+        k_blk, v_blk, k_offs, accs, ms, ls = carry
+        k0, k1 = halves(k_blk)
+        v0, v1 = halves(v_blk)
+        new_accs, new_ms, new_ls = [], [], []
+        for qi, (q_half, q_off) in enumerate([(q0, my_offs[0]), (q1, my_offs[1])]):
+            acc, m, l = accs[qi], ms[qi], ls[qi]
+            for k_half, v_half, k_off in ((k0, v0, k_offs[0]), (k1, v1, k_offs[1])):
+                a, bm, bl = _block_attn(q_half, k_half, v_half, q_off, k_off,
+                                        sm_scale, causal, use_flash, interpret)
+                new_m = jnp.maximum(m, bm)
+                alpha = jnp.exp(m - new_m)
+                beta = jnp.exp(bm - new_m)
+                acc = acc * alpha[..., None] + a * beta[..., None]
+                l = l * alpha + bl * beta
+                m = new_m
+            new_accs.append(acc)
+            new_ms.append(m)
+            new_ls.append(l)
+        k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+        v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+        k_offs = jax.lax.ppermute(k_offs, axis_name, perm)
+        return (k_blk, v_blk, k_offs, tuple(new_accs), tuple(new_ms),
+                tuple(new_ls)), None
+
+    def zero_state(q_half):
+        acc0 = (q_half * 0).astype(jnp.float32)
+        m0 = (q_half[..., 0] * 0).astype(jnp.float32) + NEG_INF
+        l0 = (q_half[..., 0] * 0).astype(jnp.float32)
+        return acc0, m0, l0
+
+    a0, m0, l0 = zero_state(q0)
+    a1, m1, l1 = zero_state(q1)
+    carry = (k, v, my_offs, (a0, a1), (m0, m1), (l0, l1))
+    carry, _ = jax.lax.scan(step_fn, carry, None, length=n_dev)
+    _, _, _, accs, ms, ls = carry
+    outs = []
+    for acc, l in zip(accs, ls):
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        outs.append((acc / l_safe[..., None]).astype(q.dtype))
+    return jnp.concatenate(outs, axis=2)
+
+
+def zigzag_ring_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh: Mesh,
+    axis_name: str = "model",
+    *,
+    causal: bool = True,
+    sm_scale: Optional[float] = None,
+    use_flash: Optional[bool] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Exact attention, zigzag-balanced over `axis_name`.
+
+    Same contract as `ring_attention` (inputs/outputs in natural global
+    order; S divisible by 2*axis size); internally the sequence is
+    re-sharded so every device carries one low and one high chunk, making
+    causal masking skip the same amount of work on every device.
+    """
+    if sm_scale is None:
+        sm_scale = q.shape[-1] ** -0.5
+    n = mesh.shape[axis_name]
+    s = q.shape[2]
+    if s % (2 * n):
+        raise ValueError(f"sequence {s} not divisible by 2*{axis_name}={2*n}")
+    chunk_len = s // (2 * n)
+
+    idx = zigzag_indices(s, n)
+    inv = _inverse_permutation(idx)
+    qz = jnp.take(q, idx, axis=2)
+    kz = jnp.take(k, idx, axis=2)
+    vz = jnp.take(v, idx, axis=2)
+
+    seq_spec = P(None, None, axis_name, None)
+    fn = jax.shard_map(
+        functools.partial(_zigzag_body, axis_name, causal, sm_scale,
+                          chunk_len=chunk_len, n_dev=n,
+                          use_flash=use_flash, interpret=interpret),
+        mesh=mesh,
+        in_specs=(seq_spec, seq_spec, seq_spec),
+        out_specs=seq_spec,
+        check_vma=not interpret,
+    )
+    out = fn(qz, kz, vz)
+    return jnp.take(out, inv, axis=2)

@@ -104,3 +104,54 @@ class TestFlashBlockPath:
                              use_flash=True, interpret=True)
         ref = _attention_reference(q, k, v, causal=True, sm_scale=d**-0.5)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+class TestZigzag:
+    """Load-balanced zigzag ring (same contract as ring_attention)."""
+
+    def test_indices_roundtrip(self):
+        from streamchat_tpu.ops.ring_attention import (
+            _inverse_permutation, zigzag_indices,
+        )
+
+        idx = zigzag_indices(32, 4)
+        assert sorted(np.asarray(idx).tolist()) == list(range(32))
+        inv = _inverse_permutation(idx)
+        np.testing.assert_array_equal(
+            np.asarray(idx)[np.asarray(inv)], np.arange(32)
+        )
+        # Device 0 holds chunks 0 and 7 (lowest + highest).
+        assert np.asarray(idx)[:8].tolist() == list(range(4)) + list(range(28, 32))
+
+    @pytest.mark.parametrize("causal", [True, False])
+    def test_matches_reference(self, mesh, causal, key):
+        from streamchat_tpu.ops.ring_attention import zigzag_ring_attention
+
+        b, h, s, d = 2, 4, 64, 16
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (b, h, s, d))
+        k = jax.random.normal(kk, (b, h, s, d))
+        v = jax.random.normal(kv, (b, h, s, d))
+        out = zigzag_ring_attention(q, k, v, mesh, "model", causal=causal)
+        ref = _attention_reference(q, k, v, causal=causal, sm_scale=d**-0.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_gqa_with_flash_interpret(self, mesh, key):
+        from streamchat_tpu.ops.ring_attention import zigzag_ring_attention
+
+        b, hq, hkv, s, d = 1, 8, 2, 2048, 16   # 256/device -> 128 per chunk
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (b, hq, s, d))
+        k = jax.random.normal(kk, (b, hkv, s, d))
+        v = jax.random.normal(kv, (b, hkv, s, d))
+        out = zigzag_ring_attention(q, k, v, mesh, "model", causal=True,
+                                    use_flash=True, interpret=True)
+        ref = _attention_reference(q, k, v, causal=True, sm_scale=d**-0.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_rejects_odd_split(self, mesh, key):
+        from streamchat_tpu.ops.ring_attention import zigzag_ring_attention
+
+        q = jnp.zeros((1, 2, 36, 8))
+        with pytest.raises(ValueError):
+            zigzag_ring_attention(q, q, q, mesh, "model")
