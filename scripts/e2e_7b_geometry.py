@@ -130,8 +130,10 @@ def stage1_pipeline(report):
         BertConfig(), hidden_size=384, intermediate_size=1536, num_layers=6,
         num_heads=12, pooling="mean",
     )
-    tree_emb = TextEmbedder.init_random(k4, colbert_cfg)
-    bank_emb = TextEmbedder.init_random(k5, minilm_cfg)
+    # bf16 embedders: f32 bert-large alone is 1.34 GB and the 23k-token
+    # caption prefill needs the headroom (the chip OOMed with f32 here).
+    tree_emb = TextEmbedder.init_random(k4, colbert_cfg, dtype=jnp.bfloat16)
+    bank_emb = TextEmbedder.init_random(k5, minilm_cfg, dtype=jnp.bfloat16)
 
     model = LongVA(
         vit_params=vit_params, proj_params=proj_params, dec_params=dec_params,

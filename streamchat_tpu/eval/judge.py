@@ -170,6 +170,9 @@ def main(argv=None) -> None:
     p.add_argument("--chunk_idx", type=int, default=0)
     p.add_argument("--format", choices=sorted(FORMATS), default="ours")
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--int8", action="store_true",
+                   help="int8 weight-only judge (halves decode latency; an "
+                        "8B judge then fits one 16 GB chip)")
     args = p.parse_args(argv)
 
     import os
@@ -184,6 +187,8 @@ def main(argv=None) -> None:
     else:
         log.warning("no LLaMA-3 checkpoint: using random tiny weights")
         lm = TextLM.init_random(jax.random.key(0), DecoderConfig.tiny())
+    if args.int8:
+        lm.quantize()
 
     with open(args.predict_file, encoding="utf-8") as f:
         predictions = json.load(f)

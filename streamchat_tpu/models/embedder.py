@@ -120,11 +120,13 @@ class TextEmbedder:
     max_length: int = 256
 
     @classmethod
-    def init_random(cls, key: jax.Array, cfg: BertConfig | None = None, tokenizer=None):
+    def init_random(cls, key: jax.Array, cfg: BertConfig | None = None,
+                    tokenizer=None, dtype=jnp.float32):
         from streamchat_tpu.models.tokenizer import ByteTokenizer
 
         cfg = cfg or BertConfig.tiny()
-        return cls(init(key, cfg), cfg, tokenizer or ByteTokenizer(), max_length=128)
+        return cls(init(key, cfg, dtype), cfg, tokenizer or ByteTokenizer(),
+                   max_length=128)
 
     @classmethod
     def from_pretrained(cls, path: str, pooling: str, dtype=jnp.float32):

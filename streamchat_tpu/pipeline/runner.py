@@ -400,7 +400,15 @@ def parse_args(argv=None):
     p.add_argument("--compress_rate", type=int, default=1)
     p.add_argument("--num_chunks", type=int, default=1)
     p.add_argument("--chunk_idx", type=int, default=0)
-    p.add_argument("--num_frames", type=int, default=4)
+    p.add_argument("--num_frames", type=int, default=4,
+                   help="accepted for reference CLI compatibility; the "
+                        "streaming path derives its frame counts from "
+                        "sample_rate/chunk_size exactly like the reference, "
+                        "which threads this value into its inference fns "
+                        "and never reads it "
+                        "(inference_streaming_longva_v2.py:89,652). The "
+                        "uniform-sampling baseline (pipeline/baseline.py) "
+                        "is where a frame count is real.")
     p.add_argument("--num_beams", type=int, default=1)
     p.add_argument("--temperature", type=float, default=0.2)
     p.add_argument("--sample_rate", type=float, default=0.5)
@@ -418,6 +426,10 @@ def parse_args(argv=None):
     p.add_argument("--multi_modal_memory", action="store_true")
     p.add_argument("--shard", action="store_true",
                    help="tensor-parallel the model over all visible devices")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 weight-only decoder (ops/quant.py): ~2x decode "
+                        "throughput and ~half the HBM; the full pipeline at "
+                        "7B geometry fits ONE 16 GB v5e chip this way")
     p.add_argument("--save_tree_dir", type=str, default=None,
                    help="persist each video's visual memory tree here")
     p.add_argument("--literal_kmeans", action="store_true",
@@ -464,6 +476,8 @@ def main(argv=None) -> None:
     args = parse_args(argv)
     cfg = config_from_args(args)
     pipeline = build_pipeline(cfg)
+    if args.int8:
+        pipeline.model.quantize()
     if args.shard:
         pipeline.model.shard()
     if args.literal_kmeans:
