@@ -19,7 +19,11 @@ from streamchat_tpu.ops.optical_flow import (
     keep_frames_optical_flow,
 )
 from streamchat_tpu.ops.pooling import compress_spatial_features, pool_patch_grid
-from streamchat_tpu.ops.ring_attention import ring_attention
+from streamchat_tpu.ops.ring_attention import (
+    ring_attention,
+    stripe_ring_attention,
+    zigzag_ring_attention,
+)
 from streamchat_tpu.ops.ulysses import ulysses_attention, usp_attention
 from streamchat_tpu.ops.vit_attention import vit_attention
 from streamchat_tpu.ops.retrieval import (
@@ -46,6 +50,8 @@ __all__ = [
     "grayscale",
     "keep_frames_optical_flow",
     "ring_attention",
+    "stripe_ring_attention",
+    "zigzag_ring_attention",
     "ulysses_attention",
     "usp_attention",
     "vit_attention",

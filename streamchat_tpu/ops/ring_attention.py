@@ -301,3 +301,102 @@ def zigzag_ring_attention(
     )
     out = fn(qz, kz, vz)
     return jnp.take(out, inv, axis=2)
+
+
+# ---------------------------------------------------------------------------
+# Stripe ring attention (token-interleaved balanced causal ring)
+# ---------------------------------------------------------------------------
+
+
+def stripe_indices(s: int, n: int) -> jnp.ndarray:
+    """Global permutation for stripe sharding: device i holds tokens
+    i, i+n, i+2n, ... (the reference's stripe variant,
+    vila/train/sequence_parallel/ring/ring_flash_attn.py stripe_*;
+    SURVEY.md §2.6). Causal masking between any device pair collapses to a
+    plain local triangle with a 0/1 diagonal shift, so every ring step does
+    identical work — no 2-chunk bookkeeping like zigzag."""
+    c = s // n
+    order = []
+    for i in range(n):
+        order.extend(range(i, s, n))
+    assert len(order) == n * c
+    return jnp.asarray(order, jnp.int32)
+
+
+def _stripe_body(axis_name: str, causal: bool, sm_scale: float,
+                 q, k, v, n_dev,
+                 use_flash: Optional[bool], interpret: bool):
+    """shard_map body. Local token t is global my_idx + t*n_dev, so a KV
+    block from origin j masks as: s <= t (j <= my_idx) or s <= t-1 (j >
+    my_idx) — expressed through _block_attn's global offsets as
+    (q_offset=0, k_offset=shift)."""
+    my_idx = jax.lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    def step_fn(carry, _):
+        k_blk, v_blk, k_origin, acc, m, l = carry
+        shift = (k_origin > my_idx).astype(jnp.int32)
+        a, bm, bl = _block_attn(q, k_blk, v_blk, jnp.asarray(0), shift,
+                                sm_scale, causal, use_flash, interpret)
+        new_m = jnp.maximum(m, bm)
+        alpha = jnp.exp(m - new_m)
+        beta = jnp.exp(bm - new_m)
+        acc = acc * alpha[..., None] + a * beta[..., None]
+        l = l * alpha + bl * beta
+        k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+        v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+        k_origin = jax.lax.ppermute(k_origin, axis_name, perm)
+        return (k_blk, v_blk, k_origin, acc, new_m, l), None
+
+    acc0 = (q * 0).astype(jnp.float32)
+    m0 = (q[..., 0] * 0).astype(jnp.float32) + NEG_INF
+    l0 = (q[..., 0] * 0).astype(jnp.float32)
+    carry = (k, v, my_idx, acc0, m0, l0)
+    carry, _ = jax.lax.scan(step_fn, carry, None, length=n_dev)
+    _, _, _, acc, m, l = carry
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    return (acc / l_safe[..., None]).astype(q.dtype)
+
+
+def stripe_ring_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh: Mesh,
+    axis_name: str = "model",
+    *,
+    causal: bool = True,
+    sm_scale: Optional[float] = None,
+    use_flash: Optional[bool] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Exact attention, stripe-balanced over `axis_name`.
+
+    Same contract as `ring_attention` (natural-order inputs/outputs; S
+    divisible by the axis size). Internally tokens interleave round-robin
+    across devices so causal work is identical per device and per step.
+    """
+    if sm_scale is None:
+        sm_scale = q.shape[-1] ** -0.5
+    n = mesh.shape[axis_name]
+    s = q.shape[2]
+    if s % n:
+        raise ValueError(f"sequence {s} not divisible by {axis_name}={n}")
+
+    idx = stripe_indices(s, n)
+    inv = _inverse_permutation(idx)
+    qz = jnp.take(q, idx, axis=2)
+    kz = jnp.take(k, idx, axis=2)
+    vz = jnp.take(v, idx, axis=2)
+
+    seq_spec = P(None, None, axis_name, None)
+    fn = jax.shard_map(
+        functools.partial(_stripe_body, axis_name, causal, sm_scale,
+                          n_dev=n, use_flash=use_flash, interpret=interpret),
+        mesh=mesh,
+        in_specs=(seq_spec, seq_spec, seq_spec),
+        out_specs=seq_spec,
+        check_vma=not interpret,
+    )
+    out = fn(qz, kz, vz)
+    return jnp.take(out, inv, axis=2)

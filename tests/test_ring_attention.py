@@ -155,3 +155,45 @@ class TestZigzag:
         q = jnp.zeros((1, 2, 36, 8))
         with pytest.raises(ValueError):
             zigzag_ring_attention(q, q, q, mesh, "model")
+
+
+class TestStripe:
+    """Token-interleaved stripe ring (reference's stripe variant)."""
+
+    def test_indices_roundtrip(self):
+        from streamchat_tpu.ops.ring_attention import (
+            _inverse_permutation, stripe_indices,
+        )
+
+        idx = stripe_indices(16, 4)
+        assert np.asarray(idx)[:4].tolist() == [0, 4, 8, 12]
+        inv = _inverse_permutation(idx)
+        np.testing.assert_array_equal(
+            np.asarray(idx)[np.asarray(inv)], np.arange(16)
+        )
+
+    @pytest.mark.parametrize("causal", [True, False])
+    def test_matches_reference(self, mesh, causal, key):
+        from streamchat_tpu.ops.ring_attention import stripe_ring_attention
+
+        b, h, s, d = 2, 4, 64, 16
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (b, h, s, d))
+        k = jax.random.normal(kk, (b, h, s, d))
+        v = jax.random.normal(kv, (b, h, s, d))
+        out = stripe_ring_attention(q, k, v, mesh, "model", causal=causal)
+        ref = _attention_reference(q, k, v, causal=causal, sm_scale=d**-0.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_gqa_with_flash_interpret(self, mesh, key):
+        from streamchat_tpu.ops.ring_attention import stripe_ring_attention
+
+        b, hq, hkv, s, d = 1, 4, 2, 512, 16   # 128 tokens per device
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (b, hq, s, d))
+        k = jax.random.normal(kk, (b, hkv, s, d))
+        v = jax.random.normal(kv, (b, hkv, s, d))
+        out = stripe_ring_attention(q, k, v, mesh, "model", causal=True,
+                                    use_flash=True, interpret=True)
+        ref = _attention_reference(q, k, v, causal=True, sm_scale=d**-0.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
