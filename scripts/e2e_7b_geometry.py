@@ -172,18 +172,35 @@ def stage1_pipeline(report):
     if os.path.exists(save_file):
         os.remove(save_file)
 
-    log("stage 1: streaming pipeline over 3 breakpoints ...")
+    log("stage 1 (cold): streaming pipeline over 3 breakpoints ...")
     t0 = time.time()
     results = pipe.process_video(reader, breakpoints, bank,
                                  user_name="User", save_file=save_file)
     wall = time.time() - t0
-    from streamchat_tpu.utils.profiling import PhaseTimer  # noqa: F401
 
     report["stage1_wall_s"] = round(wall, 1)
     report["stage1_questions"] = len(results)
     report["stage1_per_question_s"] = round(wall / max(1, len(results)), 1)
     report["stage1_process_times_s"] = [round(r["process_time"], 2) for r in results]
-    log(f"stage 1 done: {wall:.1f}s for {len(results)} questions")
+    log(f"stage 1 cold done: {wall:.1f}s for {len(results)} questions")
+
+    # Steady state: a second identical video through the SAME pipeline —
+    # every program is already compiled, so this is the number a 2.5k-question
+    # benchmark run actually amortizes to (compiles through the remote-TPU
+    # tunnel dominate a 3-question cold run).
+    log("stage 1 (warm): second video, compiled programs reused ...")
+    reader2 = SyntheticVideoReader(total_frames=3600, frame_rate=30.0,
+                                   height=336, width=336)
+    bank2 = MemoryBank("/tmp/e2e7b_memory2.json", lambda t: bank_emb.embed(t))
+    t0 = time.time()
+    results2 = pipe.process_video(reader2, breakpoints, bank2,
+                                  user_name="User")
+    warm_wall = time.time() - t0
+    report["stage1_warm_wall_s"] = round(warm_wall, 1)
+    report["stage1_warm_per_question_s"] = round(
+        warm_wall / max(1, len(results2)), 1
+    )
+    log(f"stage 1 warm done: {warm_wall:.1f}s for {len(results2)} questions")
 
     del pipe, model, dec_params, vit_params, proj_params, tree_emb, bank_emb
     gc.collect()
@@ -257,10 +274,11 @@ def main():
     stage3_scoring(report)
     report["total_wall_s"] = round(time.time() - t0, 1)
 
-    # Full-eval projection from the measured per-question cost. StreamBench
-    # v0.3 is ~2.5k questions (BASELINE.md; paper-scale). Steady-state
-    # excludes one-time compiles (amortized over a 2.5k-question run).
-    per_q = report["stage1_per_question_s"]
+    # Full-eval projection from the measured WARM per-question cost (one-time
+    # compiles amortize to nothing over a 2.5k-question run). StreamBench
+    # v0.3 is ~2.5k questions (BASELINE.md; paper-scale).
+    per_q = report.get("stage1_warm_per_question_s",
+                       report["stage1_per_question_s"])
     report["projection"] = {
         "questions": 2500,
         "one_v5e_hours": round(per_q * 2500 / 3600, 1),

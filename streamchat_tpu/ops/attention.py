@@ -226,10 +226,22 @@ def flash_attention(
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
     )
+    # vma handling for shard_map callers (e.g. ulysses' per-head-slice full
+    # attention): outputs declare the union of input varying axes and all
+    # operands are pvaried up to it. No-ops outside shard_map.
+    vma = frozenset()
+    for x in (q, k, v, kv_length):
+        vma = vma | getattr(jax.typeof(x), "vma", frozenset())
+
+    def _pv(x):
+        missing = tuple(vma - getattr(jax.typeof(x), "vma", frozenset()))
+        return jax.lax.pvary(x, missing) if missing else x
+
+    q, k, v, kv_length = map(_pv, (q, k, v, kv_length))
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype, vma=vma),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),

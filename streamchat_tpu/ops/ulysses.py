@@ -25,7 +25,15 @@ from jax.sharding import Mesh, PartitionSpec as P
 from streamchat_tpu.ops.attention import _attention_reference
 
 
-def _local_attention(q, k, v, sm_scale, causal):
+def _local_attention(q, k, v, sm_scale, causal,
+                     use_flash=None, interpret=False):
+    from streamchat_tpu.ops.ring_attention import _use_flash
+
+    if _use_flash(use_flash, q.shape[2], k.shape[2]):
+        from streamchat_tpu.ops.attention import flash_attention
+
+        return flash_attention(q, k, v, causal=causal, sm_scale=sm_scale,
+                               interpret=interpret)
     return _attention_reference(q, k, v, causal=causal, sm_scale=sm_scale)
 
 
@@ -38,12 +46,16 @@ def ulysses_attention(
     *,
     causal: bool = True,
     sm_scale: Optional[float] = None,
+    use_flash: Optional[bool] = None,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Exact attention with sequence sharded over `axis_name`.
 
     q [B, H, S, D], k/v [B, Hkv, S, D]; S and H (and Hkv) must be divisible
     by the axis size. Each device exchanges its sequence shard for a head
     shard, attends over the full sequence, and exchanges back.
+
+    use_flash: None = auto (Pallas flash per head slice on TPU, XLA on CPU).
     """
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
@@ -72,7 +84,8 @@ def ulysses_attention(
             )
 
         o = _local_attention(
-            scatter(q_l), scatter(k_l), scatter(v_l), sm_scale, causal
+            scatter(q_l), scatter(k_l), scatter(v_l), sm_scale, causal,
+            use_flash, interpret,
         )
         return gather(o)
 
@@ -81,6 +94,7 @@ def ulysses_attention(
         mesh=mesh,
         in_specs=(seq_spec, seq_spec, seq_spec),
         out_specs=seq_spec,
+        check_vma=not interpret,
     )
     return fn(q, k, v)
 
@@ -95,6 +109,8 @@ def usp_attention(
     *,
     causal: bool = True,
     sm_scale: Optional[float] = None,
+    use_flash: Optional[bool] = None,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """USP hybrid: ring attention nested inside Ulysses (sp = ring x ulysses).
 
@@ -141,7 +157,8 @@ def usp_attention(
         my_ring = jax.lax.axis_index(ring_axis)
         q_offset = my_ring * ring_block
         o = _ring_body(
-            ring_axis, causal, sm_scale, qs, ks, vs, q_offset, ring_block
+            ring_axis, causal, sm_scale, qs, ks, vs, q_offset, ring_block,
+            use_flash, interpret,
         )
         return gather(o)
 
@@ -150,5 +167,6 @@ def usp_attention(
         mesh=mesh,
         in_specs=(seq_spec, seq_spec, seq_spec),
         out_specs=seq_spec,
+        check_vma=not interpret,
     )
     return fn(q, k, v)

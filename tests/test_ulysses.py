@@ -103,3 +103,37 @@ def test_usp_eight_devices(key):
     out = usp_attention(q, k, v, mesh, "uly", "ring", causal=True)
     ref = _attention_reference(q, k, v, causal=True, sm_scale=d**-0.5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+class TestFlashInUlysses:
+    """Pallas flash slotted into ulysses' head-slice attention and USP's
+    ring steps (interpret mode on the CPU mesh)."""
+
+    def test_ulysses_flash_matches_reference(self, mesh, key):
+        from streamchat_tpu.ops.attention import _attention_reference
+        from streamchat_tpu.ops.ulysses import ulysses_attention
+
+        b, h, s, d = 1, 4, 512, 16
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (b, h, s, d))
+        k = jax.random.normal(kk, (b, h, s, d))
+        v = jax.random.normal(kv, (b, h, s, d))
+        out = ulysses_attention(q, k, v, mesh, "model", causal=True,
+                                use_flash=True, interpret=True)
+        ref = _attention_reference(q, k, v, causal=True, sm_scale=d**-0.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_usp_flash_matches_reference(self, mesh, key):
+        from streamchat_tpu.ops.attention import _attention_reference
+        from streamchat_tpu.ops.ulysses import usp_attention
+
+        b, h, s, d = 1, 4, 1024, 16   # ring=2 x ulysses=4 -> 128/dev blocks
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (b, h, s, d))
+        k = jax.random.normal(kk, (b, h, s, d))
+        v = jax.random.normal(kv, (b, h, s, d))
+        out = usp_attention(q, k, v, mesh, ulysses_axis="model",
+                            ring_axis="data", causal=True,
+                            use_flash=True, interpret=True)
+        ref = _attention_reference(q, k, v, causal=True, sm_scale=d**-0.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
