@@ -84,8 +84,11 @@ def bench_ingest(small: bool) -> float:
         jax.random.key(1), (batch, 3, vit_cfg.image_size, vit_cfg.image_size), dtype
     )
 
-    float(ingest(vit_p, proj_p, pixels)[0])               # compile + warmup
-    float(ingest(vit_p, proj_p, pixels)[0])
+    # Compile + reach steady state: the first couple of post-compile calls
+    # through the remote relay run ~7% slow (page-faults + relay warmup);
+    # measured steady state is ~370 f/s vs ~347 on pass one.
+    for _ in range(4):
+        float(ingest(vit_p, proj_p, pixels)[0])
 
     best_dt = float("inf")
     for _ in range(2):

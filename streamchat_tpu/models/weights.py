@@ -289,3 +289,61 @@ def map_bert(t: Dict[str, np.ndarray], cfg: BertConfig, dtype) -> dict:
 def load_bert(path: str, pooling: str, dtype=jnp.bfloat16) -> Tuple[BertConfig, dict]:
     cfg = bert_config_from_hf(_read_config(path), pooling)
     return cfg, map_bert(_open_shards(path), cfg, dtype)
+
+
+# ---------------------------------------------------------------------------
+# Quantized checkpoint save / load (int8 weight-only serving format)
+# ---------------------------------------------------------------------------
+
+
+def save_quantized(params: dict, path: str) -> None:
+    """Persist an int8-quantized decoder pytree (ops/quant layout) to disk.
+
+    One .npz of flat leaves — loading this is ~half the IO of the bf16
+    checkpoint and skips the on-device quantization pass (and its transient
+    bf16-tree HBM peak) at serving startup. No HF equivalent exists: the
+    reference has no quantization at all.
+    """
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}.{k}" if prefix else k, v)
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                walk(f"{prefix}.{i}", v)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk("", params)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, **flat)
+
+
+def load_quantized(path: str, dtype=jnp.bfloat16) -> dict:
+    """Load a save_quantized checkpoint back into the nested pytree."""
+    data = np.load(path if path.endswith(".npz") else path + ".npz")
+    root: dict = {}
+    for key in data.files:
+        parts = key.split(".")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        arr = data[key]
+        if arr.dtype == np.int8:
+            val = jnp.asarray(arr)
+        elif arr.dtype == np.float32 and parts[-1] == "scale":
+            val = jnp.asarray(arr)
+        else:
+            val = jnp.asarray(arr).astype(dtype)
+        node[parts[-1]] = val
+
+    def listify(node):
+        if isinstance(node, dict):
+            if node and all(k.isdigit() for k in node):
+                return [listify(node[str(i)]) for i in range(len(node))]
+            return {k: listify(v) for k, v in node.items()}
+        return node
+
+    return listify(root)

@@ -139,3 +139,25 @@ def test_quantized_tp_sharding(key):
         prompt, [feats], max_new_tokens=5, temperature=0.0
     )
     assert out == ref
+
+
+def test_quantized_checkpoint_roundtrip(params, key, tmp_path):
+    """save_quantized/load_quantized reproduce the exact pytree and the
+    loaded model generates identical greedy tokens."""
+    from streamchat_tpu.models.generate import generate
+    from streamchat_tpu.models.weights import load_quantized, save_quantized
+
+    qparams = quantize_decoder_params(params)
+    path = str(tmp_path / "ckpt_int8.npz")
+    save_quantized(qparams, path)
+    loaded = load_quantized(path, dtype=jnp.float32)
+
+    assert loaded["layers"][0]["attn"]["q"]["w_i8"].dtype == jnp.int8
+    assert len(loaded["layers"]) == CFG.num_layers
+    ids = jax.random.randint(key, (1, 10), 0, CFG.vocab_size)
+    embeds = decoder.embed_tokens(qparams, ids)
+    length = jnp.array([10], jnp.int32)
+    kw = dict(max_new_tokens=5, temperature=0.0)
+    t1, _ = generate(qparams, CFG, embeds, length, jax.random.key(0), **kw)
+    t2, _ = generate(loaded, CFG, embeds, length, jax.random.key(0), **kw)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
