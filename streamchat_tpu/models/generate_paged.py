@@ -78,7 +78,7 @@ def _seed_hh_from_prompt(cache: KVCache, num_probes: int = 16) -> jnp.ndarray:
     static_argnames=(
         "cfg", "max_new_tokens", "temperature", "top_p", "eos_ids",
         "page_size", "num_pages", "max_pages_per_seq",
-        "hh_size", "recent_size", "sink_size", "merge",
+        "hh_size", "recent_size", "sink_size", "merge", "kv_int8",
     ),
 )
 def generate_paged(
@@ -99,6 +99,7 @@ def generate_paged(
     recent_size: int = 0,
     sink_size: int = 4,
     merge: Optional[str] = None,
+    kv_int8: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Paged twin of models/generate.generate -> (tokens [B, max_new], count [B]).
 
@@ -106,6 +107,10 @@ def generate_paged(
     token-exact vs the contiguous path. With hh_size > 0 (batch 1 only) the
     pool may be smaller than prompt+decode; on imminent overflow the cache is
     H2O-compressed to sink+hh+recent slots in-loop and decoding continues.
+
+    kv_int8 stores the cache as int8 values + per-(token, head) scales —
+    half the KV HBM and cache traffic (paged_kv.PagedKVCacheInt8); mutually
+    exclusive with in-loop H2O compression for now.
     """
     if eos_ids is None:
         eos_ids = (cfg.eos_token_id,)
@@ -113,6 +118,8 @@ def generate_paged(
     compress = hh_size > 0
     if compress and b != 1:
         raise ValueError("in-loop H2O compression supports batch 1")
+    if compress and kv_int8:
+        raise ValueError("kv_int8 and in-loop H2O compression are exclusive")
 
     # Prefill needs the prompt in a dense cache whose Lmax pages cleanly.
     s_pad = -(-s // page_size) * page_size
@@ -163,7 +170,19 @@ def generate_paged(
         prompt_hh = jnp.zeros(
             (cfg.num_layers, cfg.num_kv_heads, cap), jnp.float32
         ).at[:, :, :s_pad].set(_seed_hh_from_prompt(dense))
-    cache = from_contiguous(dense, num_pages, max_pages_per_seq, page_size)
+    if kv_int8:
+        from streamchat_tpu.models.paged_kv import (
+            allocate_pages_int8,
+            decode_step_paged_int8,
+            from_contiguous_int8,
+        )
+
+        cache = from_contiguous_int8(dense, num_pages, max_pages_per_seq,
+                                     page_size)
+        alloc_fn, step_fn = allocate_pages_int8, decode_step_paged_int8
+    else:
+        cache = from_contiguous(dense, num_pages, max_pages_per_seq, page_size)
+        alloc_fn, step_fn = allocate_pages, decode_step_paged
 
     if compress:
         hh = prompt_hh
@@ -206,14 +225,14 @@ def generate_paged(
         cache, hh = st.cache, st.hh_score
         if compress:
             cache, hh = maybe_compress(cache, hh)
-        cache = allocate_pages(cache, jnp.ones((b,), jnp.int32))
+        cache = alloc_fn(cache, jnp.ones((b,), jnp.int32))
         if compress:
             logits, cache, mass = decode_step_paged(
                 params, cfg, tok, cache, positions=st.pos, collect_mass=True
             )
             hh = hh + mass[:, 0]
         else:
-            logits, cache = decode_step_paged(
+            logits, cache = step_fn(
                 params, cfg, tok, cache, positions=st.pos
             )
         return PagedGenState(cache, hh, st.pos + 1, logits, out, st.step + 1, done, key)

@@ -377,3 +377,187 @@ def compress_paged(
         next_free=jnp.asarray(c_pages, jnp.int32),
     )
     return new_cache, new_hh
+
+
+# ---------------------------------------------------------------------------
+# Int8-quantized paged cache (per-token-per-head scales)
+# ---------------------------------------------------------------------------
+
+
+class PagedKVCacheInt8(NamedTuple):
+    """Paged KV with int8 values + per-(token, head) f32 scales.
+
+    Halves KV HBM (the binding constraint for 23k-token caption prefills on
+    a 16 GB chip) and halves decode's cache traffic. The scales commute out
+    of both attention contractions — `q . (k_i8 * s) = (q . k_i8) * s` per
+    slot and `sum_l p_l * (v_i8_l * s_l) = sum_l (p_l s_l) v_i8_l` — so
+    nothing is ever dequantized into HBM. The reference's KV zoo
+    (modeling_kv_cache.py) has no quantization at all.
+    """
+
+    k_pages: jnp.ndarray      # [L, num_pages, Hkv, page_size, Dh] int8
+    v_pages: jnp.ndarray
+    k_scale: jnp.ndarray      # [L, num_pages, Hkv, page_size] f32
+    v_scale: jnp.ndarray
+    page_table: jnp.ndarray   # [B, max_pages] int32
+    length: jnp.ndarray       # [B]
+    next_free: jnp.ndarray    # []
+
+    @property
+    def page_size(self) -> int:
+        return self.k_pages.shape[3]
+
+
+def _quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[..., Dh] -> (int8 values, f32 scale over the trailing dim)."""
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    vals = jnp.clip(jnp.round(x32 / scale[..., None]), -127, 127).astype(jnp.int8)
+    return vals, scale
+
+
+def from_contiguous_int8(
+    cache,
+    num_pages: int,
+    max_pages_per_seq: int,
+    page_size: int = 128,
+) -> "PagedKVCacheInt8":
+    """Quantizing twin of from_contiguous (dense bf16 prefill -> int8 pages)."""
+    base = from_contiguous(cache, num_pages, max_pages_per_seq, page_size)
+    k_i8, k_s = _quantize_kv(base.k_pages)
+    v_i8, v_s = _quantize_kv(base.v_pages)
+    return PagedKVCacheInt8(
+        k_pages=k_i8, v_pages=v_i8, k_scale=k_s, v_scale=v_s,
+        page_table=base.page_table, length=base.length,
+        next_free=base.next_free,
+    )
+
+
+def allocate_pages_int8(cache: PagedKVCacheInt8, tokens: jnp.ndarray):
+    """Same sequential allocator, operating on the int8 table fields."""
+    proxy = PagedKVCache(
+        k_pages=cache.k_pages, v_pages=cache.v_pages,
+        page_table=cache.page_table, length=cache.length,
+        next_free=cache.next_free,
+    )
+    proxy = allocate_pages(proxy, tokens)
+    return cache._replace(page_table=proxy.page_table,
+                          next_free=proxy.next_free)
+
+
+def append_token_kv_int8(
+    cache: PagedKVCacheInt8,
+    layer: jnp.ndarray,
+    k: jnp.ndarray,          # [B, Hkv, Dh] new token K (bf16/f32)
+    v: jnp.ndarray,
+) -> PagedKVCacheInt8:
+    ps = cache.page_size
+    page_slot = cache.length // ps
+    page_idx = jnp.take_along_axis(
+        cache.page_table, page_slot[:, None], axis=1
+    )[:, 0]
+    offset = cache.length % ps
+
+    def write(pages, scales, val):
+        vals, s = _quantize_kv(val)
+
+        def body(carry, args):
+            pages, scales = carry
+            pi, off, vr, sr = args
+            pages = pages.at[pi, :, off].set(vr)
+            scales = scales.at[pi, :, off].set(sr)
+            return (pages, scales), None
+
+        (pages, scales), _ = jax.lax.scan(
+            body, (pages, scales), (page_idx, offset, vals, s)
+        )
+        return pages, scales
+
+    kp, ks = write(cache.k_pages[layer], cache.k_scale[layer], k)
+    vp, vs = write(cache.v_pages[layer], cache.v_scale[layer], v)
+    return cache._replace(
+        k_pages=cache.k_pages.at[layer].set(kp),
+        k_scale=cache.k_scale.at[layer].set(ks),
+        v_pages=cache.v_pages.at[layer].set(vp),
+        v_scale=cache.v_scale.at[layer].set(vs),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale",))
+def paged_decode_attention_int8(
+    q: jnp.ndarray,            # [B, H, 1, Dh]
+    k_pages: jnp.ndarray,      # [num_pages, Hkv, ps, Dh] int8 (one layer)
+    v_pages: jnp.ndarray,
+    k_scale: jnp.ndarray,      # [num_pages, Hkv, ps] f32
+    v_scale: jnp.ndarray,
+    page_table: jnp.ndarray,
+    length: jnp.ndarray,
+    sm_scale: float | None = None,
+) -> jnp.ndarray:
+    b, hq, _, d = q.shape
+    hkv, ps = k_pages.shape[1], k_pages.shape[2]
+    if sm_scale is None:
+        sm_scale = d ** -0.5
+    safe = jnp.maximum(page_table, 0)
+    maxp = page_table.shape[1]
+
+    def tokord(pages):                        # [B, maxp, Hkv, ps, ...] -> token order
+        g = pages[safe]
+        g = jnp.moveaxis(g, 2, 1)             # [B, Hkv, maxp, ps, ...]
+        return g.reshape((b, hkv, maxp * ps) + g.shape[4:])
+
+    k = tokord(k_pages).astype(jnp.float32)   # int8 -> f32 values (in-reg)
+    v = tokord(v_pages).astype(jnp.float32)
+    ks = tokord(k_scale)                      # [B, Hkv, L]
+    vs = tokord(v_scale)
+
+    g = hq // hkv
+    qg = q.reshape(b, hkv, g, d).astype(jnp.float32)
+    s = jnp.einsum("bhgd,bhld->bhgl", qg, k) * ks[:, :, None, :] * sm_scale
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, maxp * ps), 3)
+    s = jnp.where(col < length[:, None, None, None], s, DEFAULT_MASK_VALUE)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhgl,bhld->bhgd", p * vs[:, :, None, :], v)
+    return o.reshape(b, hq, 1, d).astype(q.dtype)
+
+
+def decode_step_paged_int8(
+    params, cfg, token_ids: jnp.ndarray, cache: "PagedKVCacheInt8",
+    positions: Optional[jnp.ndarray] = None,
+):
+    """Int8-cache twin of decode_step_paged -> (logits [B, V], cache)."""
+    from streamchat_tpu.models import decoder
+
+    b = token_ids.shape[0]
+    x = decoder.embed_tokens(params, token_ids)[:, None, :]
+    if positions is None:
+        positions = cache.length
+    positions = positions[:, None]
+    hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    for i, p in enumerate(params["layers"]):
+        h = decoder.rmsnorm(x, p["input_norm"], cfg.rms_eps)
+        q = decoder._proj(h, p["attn"]["q"]).reshape(b, 1, hq, dh).transpose(0, 2, 1, 3)
+        k = decoder._proj(h, p["attn"]["k"]).reshape(b, 1, hkv, dh).transpose(0, 2, 1, 3)
+        v = decoder._proj(h, p["attn"]["v"]).reshape(b, 1, hkv, dh).transpose(0, 2, 1, 3)
+        q = decoder.rope(q, positions, cfg.rope_theta)
+        k = decoder.rope(k, positions, cfg.rope_theta)
+        cache = append_token_kv_int8(cache, jnp.asarray(i), k[:, :, 0], v[:, :, 0])
+        o = paged_decode_attention_int8(
+            q, cache.k_pages[i], cache.v_pages[i],
+            cache.k_scale[i], cache.v_scale[i],
+            cache.page_table, cache.length + 1,
+        )
+        o = o.transpose(0, 2, 1, 3).reshape(b, 1, hq * dh)
+        x = x + decoder._proj(o, p["attn"]["o"])
+        hmid = decoder.rmsnorm(x, p["post_norm"], cfg.rms_eps)
+        gated = jax.nn.silu(
+            decoder._mm(hmid, p["mlp"]["gate"]).astype(jnp.float32)
+        ).astype(hmid.dtype)
+        x = x + decoder._mm(gated * decoder._mm(hmid, p["mlp"]["up"]),
+                            p["mlp"]["down"])
+
+    x = decoder.rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    logits = decoder.logits_from_hidden(params, cfg, x)[:, 0]
+    return logits, cache._replace(length=cache.length + 1)
