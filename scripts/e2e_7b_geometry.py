@@ -139,7 +139,12 @@ def stage1_pipeline(report):
         vit_params=vit_params, proj_params=proj_params, dec_params=dec_params,
         vit_cfg=vit_cfg, dec_cfg=dec_cfg, tokenizer=ByteTokenizer(),
         keys=KeySeq(7),
+        # int8 KV pages: the 40-frame caption prompts are ~23k tokens; bf16
+        # pages (1.34 GB) plus the dense prefill cache don't leave headroom
+        # on the 16 GB chip alongside the weights.
+        kv_int8=True,
     )
+    report["kv_cache"] = "paged int8 (per-token-head scales)"
 
     cfg = PipelineConfig(
         memory=MemoryConfig(

@@ -204,18 +204,20 @@ def forward(
     start = cache.length
     kv_length = cache.length + seq_length
     x = embeds
-    new_ks, new_vs = [], []
+    # Update the stacked cache in place per layer (XLA aliases the
+    # .at[i].set chain) instead of accumulating a list and stacking at the
+    # end — the list+stack form transiently held BOTH the input cache and a
+    # full copy (~2.7 GB extra at 7B/23k ctx, enough to OOM the 16 GB chip
+    # during long caption prefills).
+    ck, cv = cache.k, cache.v
     for i, p in enumerate(params["layers"]):
         x, nk, nv = _layer(
-            x, p, cfg, positions, cache.k[i], cache.v[i], start, kv_length, decode
+            x, p, cfg, positions, ck[i], cv[i], start, kv_length, decode
         )
-        new_ks.append(nk)
-        new_vs.append(nv)
+        ck = jax.lax.dynamic_update_index_in_dim(ck, nk.astype(ck.dtype), i, 0)
+        cv = jax.lax.dynamic_update_index_in_dim(cv, nv.astype(cv.dtype), i, 0)
     x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
-    new_cache = KVCache(
-        k=jnp.stack(new_ks), v=jnp.stack(new_vs), length=kv_length
-    )
-    return x, new_cache
+    return x, KVCache(k=ck, v=cv, length=kv_length)
 
 
 def logits_from_hidden(params: Params, cfg: DecoderConfig, hidden: jnp.ndarray) -> jnp.ndarray:

@@ -56,6 +56,10 @@ class LongVA:
     # overflows (no compression). When set, the decode loop H2O-compresses
     # to 3/4 budget (sink=4, recent=budget/4) whenever the pool runs out.
     kv_budget_tokens: Optional[int] = None
+    # Store KV pages as int8 + per-(token, head) scales (half the cache HBM;
+    # long caption prefills at 7B need this to fit one 16 GB chip).
+    # Exclusive with kv_budget_tokens for now.
+    kv_int8: bool = False
 
     # ------------------------------------------------------------------
     # Construction
@@ -268,7 +272,11 @@ class LongVA:
         compressed size=3/4 budget) keeps long sessions inside it."""
         ps = 128
         if self.kv_budget_tokens is None:
+            if self.kv_int8:
+                return {"page_size": ps, "kv_int8": True}
             return {"page_size": ps}
+        if self.kv_int8:
+            raise ValueError("kv_int8 and kv_budget_tokens are exclusive")
         cap = max(-(-self.kv_budget_tokens // ps), 2) * ps
         recent = max(ps, cap // 4)
         sink = 4
