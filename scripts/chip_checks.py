@@ -115,6 +115,45 @@ def ring_flash_one_device():
     return _err(out, ref)
 
 
+def pallas_paged_decode_vs_xla():
+    """Compiled page-table-indexed decode kernel vs the XLA gather path at
+    7B decode geometry (GQA 28/4, page 128, ragged batch)."""
+    from streamchat_tpu.config import DecoderConfig
+    from streamchat_tpu.models.paged_kv import (
+        PagedKVCache, advance, allocate_pages, append_token_kv,
+        paged_decode_attention,
+    )
+    from streamchat_tpu.ops.paged_attention import paged_decode_attention_pallas
+
+    cfg = DecoderConfig.qwen2_7b()
+    lengths = [517, 129]
+    b, maxp, ps = len(lengths), 8, 128
+    cache = PagedKVCache.create(cfg, batch=b, num_pages=b * maxp,
+                                max_pages_per_seq=maxp, page_size=ps)
+    # Bulk-fill pages directly (per-token appends would be hundreds of
+    # relay dispatches); the table comes from the real allocator.
+    cache = allocate_pages(cache, jnp.asarray(lengths, jnp.int32))
+    kf = jax.random.normal(
+        jax.random.key(5), cache.k_pages[:1].shape, jnp.bfloat16)[0]
+    vf = jax.random.normal(
+        jax.random.key(6), cache.v_pages[:1].shape, jnp.bfloat16)[0]
+    cache = cache._replace(
+        k_pages=cache.k_pages.at[0].set(kf),
+        v_pages=cache.v_pages.at[0].set(vf),
+        length=jnp.asarray(lengths, jnp.int32),
+    )
+    q = jax.random.normal(jax.random.key(7),
+                          (b, cfg.num_heads, 1, cfg.head_dim), jnp.bfloat16)
+    length = jnp.asarray(lengths, jnp.int32)
+    ref = paged_decode_attention(
+        q, cache.k_pages[0], cache.v_pages[0], cache.page_table, length
+    )
+    out = paged_decode_attention_pallas(
+        q, cache.k_pages[0], cache.v_pages[0], cache.page_table, length
+    )
+    return _err(out, ref)
+
+
 def paged_generation_exact():
     """generate_paged greedy == contiguous generate greedy, on chip."""
     from streamchat_tpu.config import DecoderConfig
@@ -143,6 +182,7 @@ def main():
     ok &= check("flash_vit(577,non-causal)", flash_vit_shape, 2e-2)
     ok &= check("flash_partial_ring_block", flash_partial_vs_xla_block, 2e-2)
     ok &= check("ring_flash_1dev_mesh", ring_flash_one_device, 2e-2)
+    ok &= check("pallas_paged_decode(7B geom)", pallas_paged_decode_vs_xla, 2e-2)
     ok &= check("paged_generation_token_exact", paged_generation_exact, 0.0)
     return 0 if ok else 1
 

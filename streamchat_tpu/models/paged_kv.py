@@ -237,14 +237,28 @@ def decode_step_paged(
         cache = append_token_kv(
             cache, jnp.asarray(i), k[:, :, 0], v[:, :, 0]
         )
-        o = paged_decode_attention(
-            q, cache.k_pages[i], cache.v_pages[i],
-            cache.page_table, cache.length + 1,
-            return_mass=collect_mass,
-        )
-        if collect_mass:
-            o, mass = o
-            masses.append(mass)
+        if collect_mass or jax.default_backend() != "tpu":
+            # XLA gather path: also the only one that can return the H2O
+            # attention-mass statistic (the kernel never materializes probs).
+            o = paged_decode_attention(
+                q, cache.k_pages[i], cache.v_pages[i],
+                cache.page_table, cache.length + 1,
+                return_mass=collect_mass,
+            )
+            if collect_mass:
+                o, mass = o
+                masses.append(mass)
+        else:
+            # TPU: page-table-indexed Pallas kernel — no gather copy, cache
+            # bytes read exactly once per step (ops/paged_attention).
+            from streamchat_tpu.ops.paged_attention import (
+                paged_decode_attention_pallas,
+            )
+
+            o = paged_decode_attention_pallas(
+                q, cache.k_pages[i], cache.v_pages[i],
+                cache.page_table, cache.length + 1,
+            )
         o = o.transpose(0, 2, 1, 3).reshape(b, 1, hq * dh)
         x = x + decoder._proj(o, p["attn"]["o"])
         hmid = decoder.rmsnorm(x, p["post_norm"], cfg.rms_eps)

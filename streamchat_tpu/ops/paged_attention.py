@@ -1,0 +1,165 @@
+"""Pallas paged decode attention: page-table-indexed KV, no gather copy.
+
+The XLA paged path (`models/paged_kv.paged_decode_attention`) materializes
+`k_pages[table]` every step — for a 4k-context 7B decode that's read pages +
+write the gathered copy + read it again (~3x the cache bytes). This kernel
+indexes the page pool DIRECTLY through the page table via scalar prefetch
+(the BlockSpec index_map picks pool page `table[b, j]` for grid step j), so
+each step reads the cache exactly once at the HBM roofline.
+
+One (batch row, kv head) owns its grid lane; pages stream along the
+innermost grid dim with the online-softmax accumulators in VMEM scratch —
+the decode twin of the prefill flash kernel (ops/attention._flash_kernel).
+GQA is native: the q block holds the head's whole query group.
+
+Unmapped / past-length pages are skipped with pl.when, so ragged batches
+cost only their true lengths.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from streamchat_tpu.ops.attention import DEFAULT_MASK_VALUE
+
+
+def _paged_decode_kernel(
+    table_ref,            # [B, maxp] int32 scalar prefetch
+    length_ref,           # [B] int32 scalar prefetch
+    q_ref,                # [1, 1, gpad, d]
+    k_ref,                # [1, 1, ps, d] (pool page table[b, j])
+    v_ref,
+    o_ref,                # [1, 1, gpad, d]
+    m_scratch,            # [gpad, 128] f32
+    l_scratch,
+    acc_scratch,          # [gpad, d] f32
+    *,
+    sm_scale: float,
+    page_size: int,
+    num_pages_per_seq: int,
+):
+    b = pl.program_id(0)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    length = length_ref[b]
+    live = jnp.logical_and(
+        table_ref[b, j] >= 0, j * page_size < length
+    )
+
+    @pl.when(live)
+    def _run():
+        q = q_ref[0, 0]                                   # [gpad, d]
+        k = k_ref[0, 0]                                   # [ps, d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale                                      # [gpad, ps]
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * page_size
+        s = jnp.where(col < length, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scratch[...]
+        l_prev = l_scratch[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        l_scratch[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scratch[...] = m_next
+        v = v_ref[0, 0]
+        acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(j == num_pages_per_seq - 1)
+    def _store():
+        l = l_scratch[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sm_scale", "interpret")
+)
+def paged_decode_attention_pallas(
+    q: jnp.ndarray,            # [B, Hq, 1, Dh]
+    k_pages: jnp.ndarray,      # [num_pages, Hkv, page_size, Dh] (one layer)
+    v_pages: jnp.ndarray,
+    page_table: jnp.ndarray,   # [B, max_pages] int32 (-1 = unmapped)
+    length: jnp.ndarray,       # [B] valid tokens
+    sm_scale: float | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Single-token attention against a paged cache -> [B, Hq, 1, Dh].
+
+    Drop-in for paged_kv.paged_decode_attention, reading pool pages through
+    the table inside the kernel instead of gathering them into a contiguous
+    copy first.
+    """
+    b, hq, _, d = q.shape
+    num_pages, hkv, ps, _ = k_pages.shape
+    maxp = page_table.shape[1]
+    if sm_scale is None:
+        sm_scale = d ** -0.5
+    g = hq // hkv
+    gpad = max(8, -(-g // 8) * 8)              # sublane-align the query group
+
+    qg = q.reshape(b, hkv, g, d)
+    if gpad > g:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gpad - g), (0, 0)))
+
+    grid = (b, hkv, maxp)
+    kernel = functools.partial(
+        _paged_decode_kernel,
+        sm_scale=sm_scale,
+        page_size=ps,
+        num_pages_per_seq=maxp,
+    )
+    # Index maps receive (grid idx..., *prefetch_refs). Clamp the table entry
+    # so unmapped (-1) pages still produce a legal index; pl.when skips them.
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, gpad, d), lambda b, h, j, *_: (b, h, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, ps, d),
+                lambda b, h, j, table, length: (
+                    jnp.maximum(table[b, j], 0), h, 0, 0
+                ),
+            ),
+            pl.BlockSpec(
+                (1, 1, ps, d),
+                lambda b, h, j, table, length: (
+                    jnp.maximum(table[b, j], 0), h, 0, 0
+                ),
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, 1, gpad, d), lambda b, h, j, *_: (b, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((gpad, 128), jnp.float32),
+            pltpu.VMEM((gpad, 128), jnp.float32),
+            pltpu.VMEM((gpad, d), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, gpad, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(page_table.astype(jnp.int32), length.astype(jnp.int32),
+      qg, k_pages, v_pages)
+    return out[:, :, :g].reshape(b, hq, 1, d)

@@ -326,3 +326,63 @@ class TestInt8KV:
                            jax.random.key(0), max_new_tokens=4,
                            page_size=16, kv_int8=True, hh_size=4,
                            recent_size=4)
+
+
+class TestPallasPagedAttention:
+    """ops/paged_attention: page-table-indexed decode kernel (interpret
+    mode on CPU; the compiled path is validated by scripts/chip_checks.py)."""
+
+    def _build(self, cfg, key, lengths, ps=16):
+        b = len(lengths)
+        maxp = 4
+        cache = PagedKVCache.create(cfg, batch=b, num_pages=b * maxp,
+                                    max_pages_per_seq=maxp, page_size=ps,
+                                    dtype=jnp.float32)
+        for t in range(max(lengths)):
+            grow = jnp.asarray([1 if t < l else 0 for l in lengths], jnp.int32)
+            k_tok = jax.random.normal(jax.random.key(100 + t),
+                                      (b, cfg.num_kv_heads, cfg.head_dim))
+            v_tok = jax.random.normal(jax.random.key(200 + t),
+                                      (b, cfg.num_kv_heads, cfg.head_dim))
+            cache = allocate_pages(cache, grow)
+            cache = append_token_kv(cache, jnp.asarray(0), k_tok, v_tok)
+            cache = advance(cache, grow)
+        return cache
+
+    def test_matches_xla_gather_path(self, cfg, key):
+        from streamchat_tpu.ops.paged_attention import (
+            paged_decode_attention_pallas,
+        )
+
+        lengths = [37, 12]
+        cache = self._build(cfg, key, lengths)
+        b = len(lengths)
+        q = jax.random.normal(key, (b, cfg.num_heads, 1, cfg.head_dim))
+        length = jnp.asarray(lengths, jnp.int32)
+        ref = paged_decode_attention(
+            q, cache.k_pages[0], cache.v_pages[0], cache.page_table, length
+        )
+        out = paged_decode_attention_pallas(
+            q, cache.k_pages[0], cache.v_pages[0], cache.page_table, length,
+            interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_unmapped_pages_skipped(self, cfg, key):
+        from streamchat_tpu.ops.paged_attention import (
+            paged_decode_attention_pallas,
+        )
+
+        # One row only fills a single page; its table has -1 entries.
+        cache = self._build(cfg, key, [9, 60])
+        assert int(np.asarray(cache.page_table)[0, 1]) == -1
+        q = jax.random.normal(key, (2, cfg.num_heads, 1, cfg.head_dim))
+        length = jnp.asarray([9, 60], jnp.int32)
+        ref = paged_decode_attention(
+            q, cache.k_pages[0], cache.v_pages[0], cache.page_table, length
+        )
+        out = paged_decode_attention_pallas(
+            q, cache.k_pages[0], cache.v_pages[0], cache.page_table, length,
+            interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
