@@ -154,6 +154,44 @@ def pallas_paged_decode_vs_xla():
     return _err(out, ref)
 
 
+def pallas_paged_decode_int8_vs_xla():
+    """Compiled int8 paged decode kernel vs the XLA int8 path, 7B geometry."""
+    from streamchat_tpu.config import DecoderConfig
+    from streamchat_tpu.models.paged_kv import (
+        PagedKVCache, allocate_pages, from_contiguous_int8,
+        paged_decode_attention_int8,
+    )
+    from streamchat_tpu.models.decoder import KVCache
+    from streamchat_tpu.models.paged_kv import _quantize_kv
+    from streamchat_tpu.ops.paged_attention import (
+        paged_decode_attention_pallas_int8,
+    )
+
+    cfg = DecoderConfig.qwen2_7b()
+    lengths = [517, 129]
+    b, maxp, ps = len(lengths), 8, 128
+    hkv, dh = cfg.num_kv_heads, cfg.head_dim
+    kf = jax.random.normal(jax.random.key(8), (b * maxp, hkv, ps, dh),
+                           jnp.bfloat16)
+    vf = jax.random.normal(jax.random.key(9), (b * maxp, hkv, ps, dh),
+                           jnp.bfloat16)
+    k_i8, k_s = _quantize_kv(kf)
+    v_i8, v_s = _quantize_kv(vf)
+    base = PagedKVCache.create(cfg, batch=b, num_pages=b * maxp,
+                               max_pages_per_seq=maxp, page_size=ps)
+    base = allocate_pages(base, jnp.asarray(lengths, jnp.int32))
+    q = jax.random.normal(jax.random.key(10),
+                          (b, cfg.num_heads, 1, dh), jnp.bfloat16)
+    length = jnp.asarray(lengths, jnp.int32)
+    ref = paged_decode_attention_int8(
+        q, k_i8, v_i8, k_s, v_s, base.page_table, length
+    )
+    out = paged_decode_attention_pallas_int8(
+        q, k_i8, v_i8, k_s, v_s, base.page_table, length
+    )
+    return _err(out, ref)
+
+
 def paged_generation_exact():
     """generate_paged greedy == contiguous generate greedy, on chip."""
     from streamchat_tpu.config import DecoderConfig
@@ -183,6 +221,8 @@ def main():
     ok &= check("flash_partial_ring_block", flash_partial_vs_xla_block, 2e-2)
     ok &= check("ring_flash_1dev_mesh", ring_flash_one_device, 2e-2)
     ok &= check("pallas_paged_decode(7B geom)", pallas_paged_decode_vs_xla, 2e-2)
+    ok &= check("pallas_paged_decode_int8(7B geom)",
+                pallas_paged_decode_int8_vs_xla, 2e-2)
     ok &= check("paged_generation_token_exact", paged_generation_exact, 0.0)
     return 0 if ok else 1
 

@@ -558,11 +558,22 @@ def decode_step_paged_int8(
         q = decoder.rope(q, positions, cfg.rope_theta)
         k = decoder.rope(k, positions, cfg.rope_theta)
         cache = append_token_kv_int8(cache, jnp.asarray(i), k[:, :, 0], v[:, :, 0])
-        o = paged_decode_attention_int8(
-            q, cache.k_pages[i], cache.v_pages[i],
-            cache.k_scale[i], cache.v_scale[i],
-            cache.page_table, cache.length + 1,
-        )
+        if jax.default_backend() == "tpu":
+            from streamchat_tpu.ops.paged_attention import (
+                paged_decode_attention_pallas_int8,
+            )
+
+            o = paged_decode_attention_pallas_int8(
+                q, cache.k_pages[i], cache.v_pages[i],
+                cache.k_scale[i], cache.v_scale[i],
+                cache.page_table, cache.length + 1,
+            )
+        else:
+            o = paged_decode_attention_int8(
+                q, cache.k_pages[i], cache.v_pages[i],
+                cache.k_scale[i], cache.v_scale[i],
+                cache.page_table, cache.length + 1,
+            )
         o = o.transpose(0, 2, 1, 3).reshape(b, 1, hq * dh)
         x = x + decoder._proj(o, p["attn"]["o"])
         hmid = decoder.rmsnorm(x, p["post_norm"], cfg.rms_eps)

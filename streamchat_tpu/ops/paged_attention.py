@@ -163,3 +163,129 @@ def paged_decode_attention_pallas(
     )(page_table.astype(jnp.int32), length.astype(jnp.int32),
       qg, k_pages, v_pages)
     return out[:, :, :g].reshape(b, hq, 1, d)
+
+
+def _paged_decode_int8_kernel(
+    table_ref,            # [B, maxp] int32 scalar prefetch
+    length_ref,           # [B] int32 scalar prefetch
+    q_ref,                # [1, 1, gpad, d]
+    k_ref,                # [1, 1, ps, d] int8 (pool page table[b, j])
+    v_ref,
+    ks_ref,               # [1, Hkv, ps] f32 scales for the page (all heads)
+    vs_ref,
+    o_ref,                # [1, 1, gpad, d]
+    m_scratch,
+    l_scratch,
+    acc_scratch,
+    *,
+    sm_scale: float,
+    page_size: int,
+    num_pages_per_seq: int,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    length = length_ref[b]
+    live = jnp.logical_and(table_ref[b, j] >= 0, j * page_size < length)
+
+    @pl.when(live)
+    def _run():
+        q = q_ref[0, 0]
+        # int8 values upcast in-register; the per-(token, head) scale
+        # commutes out of the contraction: (q . k_i8) * scale.
+        k = k_ref[0, 0].astype(q.dtype)
+        ks = jax.lax.dynamic_slice_in_dim(ks_ref[0], h, 1, 0)    # [1, ps]
+        vs = jax.lax.dynamic_slice_in_dim(vs_ref[0], h, 1, 0)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * ks * sm_scale                                        # [gpad, ps]
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * page_size
+        s = jnp.where(col < length, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scratch[...]
+        l_prev = l_scratch[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        l_scratch[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scratch[...] = m_next
+        v = v_ref[0, 0].astype(q.dtype)
+        acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + jax.lax.dot(
+            (p * vs).astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(j == num_pages_per_seq - 1)
+    def _store():
+        l = l_scratch[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
+def paged_decode_attention_pallas_int8(
+    q: jnp.ndarray,            # [B, Hq, 1, Dh]
+    k_pages: jnp.ndarray,      # [num_pages, Hkv, page_size, Dh] int8
+    v_pages: jnp.ndarray,
+    k_scale: jnp.ndarray,      # [num_pages, Hkv, page_size] f32
+    v_scale: jnp.ndarray,
+    page_table: jnp.ndarray,
+    length: jnp.ndarray,
+    sm_scale: float | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Int8-cache twin of paged_decode_attention_pallas."""
+    b, hq, _, d = q.shape
+    _, hkv, ps, _ = k_pages.shape
+    maxp = page_table.shape[1]
+    if sm_scale is None:
+        sm_scale = d ** -0.5
+    g = hq // hkv
+    gpad = max(8, -(-g // 8) * 8)
+    qg = q.reshape(b, hkv, g, d)
+    if gpad > g:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gpad - g), (0, 0)))
+
+    grid = (b, hkv, maxp)
+    kernel = functools.partial(
+        _paged_decode_int8_kernel,
+        sm_scale=sm_scale, page_size=ps, num_pages_per_seq=maxp,
+    )
+    page_idx = lambda b, h, j, table, length: (jnp.maximum(table[b, j], 0), h, 0, 0)
+    scale_idx = lambda b, h, j, table, length: (jnp.maximum(table[b, j], 0), 0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, gpad, d), lambda b, h, j, *_: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, ps, d), page_idx),
+            pl.BlockSpec((1, 1, ps, d), page_idx),
+            pl.BlockSpec((1, hkv, ps), scale_idx),
+            pl.BlockSpec((1, hkv, ps), scale_idx),
+        ],
+        out_specs=pl.BlockSpec((1, 1, gpad, d), lambda b, h, j, *_: (b, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((gpad, 128), jnp.float32),
+            pltpu.VMEM((gpad, 128), jnp.float32),
+            pltpu.VMEM((gpad, d), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, gpad, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(page_table.astype(jnp.int32), length.astype(jnp.int32),
+      qg, k_pages, v_pages, k_scale, v_scale)
+    return out[:, :, :g].reshape(b, hq, 1, d)

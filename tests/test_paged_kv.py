@@ -386,3 +386,48 @@ class TestPallasPagedAttention:
             interpret=True,
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_int8_kernel_matches_xla_int8(self, cfg, key):
+        from streamchat_tpu.models.paged_kv import (
+            allocate_pages_int8,
+            append_token_kv_int8,
+            paged_decode_attention_int8,
+        )
+        from streamchat_tpu.models.paged_kv import PagedKVCacheInt8
+        from streamchat_tpu.ops.paged_attention import (
+            paged_decode_attention_pallas_int8,
+        )
+
+        b, maxp, ps = 2, 4, 16
+        hkv, dh = cfg.num_kv_heads, cfg.head_dim
+        shape = (cfg.num_layers, b * maxp, hkv, ps, dh)
+        cache = PagedKVCacheInt8(
+            k_pages=jnp.zeros(shape, jnp.int8),
+            v_pages=jnp.zeros(shape, jnp.int8),
+            k_scale=jnp.ones(shape[:4], jnp.float32),
+            v_scale=jnp.ones(shape[:4], jnp.float32),
+            page_table=jnp.full((b, maxp), -1, jnp.int32),
+            length=jnp.zeros((b,), jnp.int32),
+            next_free=jnp.zeros((), jnp.int32),
+        )
+        lengths = [23, 9]
+        for t in range(max(lengths)):
+            grow = jnp.asarray([1 if t < l else 0 for l in lengths], jnp.int32)
+            k_tok = jax.random.normal(jax.random.key(300 + t), (b, hkv, dh))
+            v_tok = jax.random.normal(jax.random.key(400 + t), (b, hkv, dh))
+            cache = allocate_pages_int8(cache, grow)
+            cache = append_token_kv_int8(cache, jnp.asarray(0), k_tok, v_tok)
+            cache = cache._replace(length=cache.length + grow)
+
+        q = jax.random.normal(key, (b, cfg.num_heads, 1, dh))
+        length = jnp.asarray(lengths, jnp.int32)
+        ref = paged_decode_attention_int8(
+            q, cache.k_pages[0], cache.v_pages[0],
+            cache.k_scale[0], cache.v_scale[0], cache.page_table, length,
+        )
+        out = paged_decode_attention_pallas_int8(
+            q, cache.k_pages[0], cache.v_pages[0],
+            cache.k_scale[0], cache.v_scale[0], cache.page_table, length,
+            interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
