@@ -181,6 +181,7 @@ def _paged_decode_int8_kernel(
     sm_scale: float,
     page_size: int,
     num_pages_per_seq: int,
+    num_kv_heads: int,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -201,8 +202,14 @@ def _paged_decode_int8_kernel(
         # int8 values upcast in-register; the per-(token, head) scale
         # commutes out of the contraction: (q . k_i8) * scale.
         k = k_ref[0, 0].astype(q.dtype)
-        ks = jax.lax.dynamic_slice_in_dim(ks_ref[0], h, 1, 0)    # [1, ps]
-        vs = jax.lax.dynamic_slice_in_dim(vs_ref[0], h, 1, 0)
+        # Select this kv head's scale row via a one-hot reduction — Mosaic
+        # has no dynamic_slice on values, and a (1, 1, ps)-blocked scale
+        # input would violate the (8, 128) tile rule.
+        hsel = jax.lax.broadcasted_iota(
+            jnp.int32, (num_kv_heads, 1), 0
+        ) == h
+        ks = jnp.sum(jnp.where(hsel, ks_ref[0], 0.0), axis=0, keepdims=True)
+        vs = jnp.sum(jnp.where(hsel, vs_ref[0], 0.0), axis=0, keepdims=True)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -258,6 +265,7 @@ def paged_decode_attention_pallas_int8(
     kernel = functools.partial(
         _paged_decode_int8_kernel,
         sm_scale=sm_scale, page_size=ps, num_pages_per_seq=maxp,
+        num_kv_heads=hkv,
     )
     page_idx = lambda b, h, j, table, length: (jnp.maximum(table[b, j], 0), h, 0, 0)
     scale_idx = lambda b, h, j, table, length: (jnp.maximum(table[b, j], 0), 0, 0)
