@@ -18,7 +18,17 @@ from streamchat_tpu.ops.optical_flow import (
     grayscale,
     keep_frames_optical_flow,
 )
+from streamchat_tpu.ops.paged_attention import (
+    paged_decode_attention_pallas,
+    paged_decode_attention_pallas_int8,
+)
 from streamchat_tpu.ops.pooling import compress_spatial_features, pool_patch_grid
+from streamchat_tpu.ops.quant import (
+    matmul_any,
+    qmatmul,
+    quantize_decoder_params,
+    quantize_weight,
+)
 from streamchat_tpu.ops.ring_attention import (
     ring_attention,
     stripe_ring_attention,
@@ -49,6 +59,12 @@ __all__ = [
     "flow_magnitude",
     "grayscale",
     "keep_frames_optical_flow",
+    "paged_decode_attention_pallas",
+    "paged_decode_attention_pallas_int8",
+    "matmul_any",
+    "qmatmul",
+    "quantize_decoder_params",
+    "quantize_weight",
     "ring_attention",
     "stripe_ring_attention",
     "zigzag_ring_attention",
