@@ -94,6 +94,14 @@ def _ring_body(axis_name: str, causal: bool, sm_scale: float,
     def step_fn(carry, _):
         k_blk, v_blk, k_idx, acc, m, l = carry
         k_off = k_idx * shard_len
+        # Issue the rotation BEFORE the block compute: the next block's ICI
+        # transfer then overlaps this block's attention (XLA latency-hiding
+        # scheduler splits the collective into start/done around independent
+        # work) — the effect the reference gets from explicit async p2p
+        # (ring/utils.py batch_isend_irecv).
+        nk = jax.lax.ppermute(k_blk, axis_name, perm)
+        nv = jax.lax.ppermute(v_blk, axis_name, perm)
+        nidx = jax.lax.ppermute(k_idx, axis_name, perm)
         a, bm, bl = _block_attn(q, k_blk, v_blk, q_offset, k_off, sm_scale,
                                 causal, use_flash, interpret)
         new_m = jnp.maximum(m, bm)
@@ -104,11 +112,7 @@ def _ring_body(axis_name: str, causal: bool, sm_scale: float,
         beta = jnp.exp(bm - new_m)
         acc = acc * alpha[..., None] + a * beta[..., None]
         l = l * alpha + bl * beta
-        # Rotate: receive the previous device's block (ppermute over ICI).
-        k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
-        v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
-        k_idx = jax.lax.ppermute(k_idx, axis_name, perm)
-        return (k_blk, v_blk, k_idx, acc, new_m, l), None
+        return (nk, nv, nidx, acc, new_m, l), None
 
     b, h, sq, d = q.shape
     # Derive the fresh accumulators from q so they inherit ALL of q's
@@ -215,6 +219,10 @@ def _zigzag_body(axis_name: str, causal: bool, sm_scale: float,
 
     def step_fn(carry, _):
         k_blk, v_blk, k_offs, accs, ms, ls = carry
+        # Rotation first: next block's ICI transfer overlaps this compute.
+        nk = jax.lax.ppermute(k_blk, axis_name, perm)
+        nv = jax.lax.ppermute(v_blk, axis_name, perm)
+        noffs = jax.lax.ppermute(k_offs, axis_name, perm)
         k0, k1 = halves(k_blk)
         v0, v1 = halves(v_blk)
         new_accs, new_ms, new_ls = [], [], []
@@ -232,10 +240,7 @@ def _zigzag_body(axis_name: str, causal: bool, sm_scale: float,
             new_accs.append(acc)
             new_ms.append(m)
             new_ls.append(l)
-        k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
-        v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
-        k_offs = jax.lax.ppermute(k_offs, axis_name, perm)
-        return (k_blk, v_blk, k_offs, tuple(new_accs), tuple(new_ms),
+        return (nk, nv, noffs, tuple(new_accs), tuple(new_ms),
                 tuple(new_ls)), None
 
     def zero_state(q_half):
@@ -335,6 +340,10 @@ def _stripe_body(axis_name: str, causal: bool, sm_scale: float,
 
     def step_fn(carry, _):
         k_blk, v_blk, k_origin, acc, m, l = carry
+        # Rotation first: next block's ICI transfer overlaps this compute.
+        nk = jax.lax.ppermute(k_blk, axis_name, perm)
+        nv = jax.lax.ppermute(v_blk, axis_name, perm)
+        norigin = jax.lax.ppermute(k_origin, axis_name, perm)
         shift = (k_origin > my_idx).astype(jnp.int32)
         a, bm, bl = _block_attn(q, k_blk, v_blk, jnp.asarray(0), shift,
                                 sm_scale, causal, use_flash, interpret)
@@ -343,10 +352,7 @@ def _stripe_body(axis_name: str, causal: bool, sm_scale: float,
         beta = jnp.exp(bm - new_m)
         acc = acc * alpha[..., None] + a * beta[..., None]
         l = l * alpha + bl * beta
-        k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
-        v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
-        k_origin = jax.lax.ppermute(k_origin, axis_name, perm)
-        return (k_blk, v_blk, k_origin, acc, new_m, l), None
+        return (nk, nv, norigin, acc, new_m, l), None
 
     acc0 = (q * 0).astype(jnp.float32)
     m0 = (q[..., 0] * 0).astype(jnp.float32) + NEG_INF
