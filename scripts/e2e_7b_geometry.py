@@ -46,6 +46,17 @@ def log(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
+def log_hbm(tag):
+    try:
+        st = jax.devices()[0].memory_stats() or {}
+        used = st.get("bytes_in_use", 0) / 2**30
+        peak = st.get("peak_bytes_in_use", 0) / 2**30
+        limit = st.get("bytes_limit", 0) / 2**30
+        log(f"HBM[{tag}]: in_use={used:.2f}G peak={peak:.2f}G limit={limit:.2f}G")
+    except Exception as e:  # noqa: BLE001
+        log(f"HBM[{tag}]: unavailable ({type(e).__name__})")
+
+
 def init_quantized_decoder(key, cfg):
     """Random decoder params born int8 (per ops/quant.py layout).
 
@@ -117,6 +128,7 @@ def stage1_pipeline(report):
     jax.block_until_ready(dec_params["layers"][0]["attn"]["q"]["w_i8"])
     gc.collect()
     report["quantize_7b_s"] = round(time.time() - t0, 1)
+    log_hbm("after int8 7B")
 
     log("init ViT-L/14-336 + projector + embedders ...")
     vit_cfg = ViTConfig()  # real CLIP ViT-L geometry
@@ -177,6 +189,7 @@ def stage1_pipeline(report):
     if os.path.exists(save_file):
         os.remove(save_file)
 
+    log_hbm("all models loaded")
     log("stage 1 (cold): streaming pipeline over 3 breakpoints ...")
     t0 = time.time()
     results = pipe.process_video(reader, breakpoints, bank,

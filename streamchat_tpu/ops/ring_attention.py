@@ -52,13 +52,20 @@ def _block_attn(
     causal: bool,
     use_flash: Optional[bool] = None,
     interpret: bool = False,
+    kv_length: Optional[jnp.ndarray] = None,  # [B] valid GLOBAL tokens
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Partial attention vs one KV block: (acc [B,H,Sq,D] f32, m, l)."""
-    if _use_flash(use_flash, q.shape[2], k.shape[2]):
+    sk = k.shape[2]
+    if _use_flash(use_flash, q.shape[2], sk):
         from streamchat_tpu.ops.attention import flash_attention_partial
 
+        block_len = None
+        if kv_length is not None:
+            # The kernel masks LOCAL columns; valid globals are < kv_length,
+            # so this block's effective length is kv_length - k_offset.
+            block_len = jnp.clip(kv_length - k_offset, 0, sk).astype(jnp.int32)
         return flash_attention_partial(
-            q, k, v, q_offset, k_offset,
+            q, k, v, q_offset, k_offset, block_len,
             causal=causal, sm_scale=sm_scale,
             interpret=interpret, neg_inf=NEG_INF,
         )
@@ -74,6 +81,9 @@ def _block_attn(
         rows = q_offset + jax.lax.broadcasted_iota(jnp.int32, (sq, k.shape[2]), 0)
         cols = k_offset + jax.lax.broadcasted_iota(jnp.int32, (sq, k.shape[2]), 1)
         s = jnp.where((cols <= rows)[None, None], s, NEG_INF)
+    if kv_length is not None:
+        cols = k_offset + jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, sk), 3)
+        s = jnp.where(cols < kv_length[:, None, None, None], s, NEG_INF)
     m = jnp.max(s, axis=-1)                                   # [B,H,Sq]
     p = jnp.exp(s - m[..., None])
     # Fully-masked rows: exp(NEG_INF - NEG_INF) = 1 would poison l; zero them.
@@ -85,7 +95,8 @@ def _block_attn(
 
 def _ring_body(axis_name: str, causal: bool, sm_scale: float,
                q, k, v, q_offset, shard_len,
-               use_flash: Optional[bool] = None, interpret: bool = False):
+               use_flash: Optional[bool] = None, interpret: bool = False,
+               kv_length: Optional[jnp.ndarray] = None):
     """shard_map body: everything is a per-device block here."""
     n_dev = jax.lax.psum(1, axis_name)
     my_idx = jax.lax.axis_index(axis_name)
@@ -103,7 +114,7 @@ def _ring_body(axis_name: str, causal: bool, sm_scale: float,
         nv = jax.lax.ppermute(v_blk, axis_name, perm)
         nidx = jax.lax.ppermute(k_idx, axis_name, perm)
         a, bm, bl = _block_attn(q, k_blk, v_blk, q_offset, k_off, sm_scale,
-                                causal, use_flash, interpret)
+                                causal, use_flash, interpret, kv_length)
         new_m = jnp.maximum(m, bm)
         # NEG_INF is finite, so these rescales are well-defined even for
         # rows that have seen no unmasked key yet (the reference does this
@@ -140,6 +151,7 @@ def ring_attention(
     sm_scale: Optional[float] = None,
     use_flash: Optional[bool] = None,
     interpret: bool = False,
+    kv_length: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Exact attention with the sequence sharded over `axis_name`.
 
@@ -148,6 +160,11 @@ def ring_attention(
 
     use_flash: None = auto (Pallas kernel per ring step on TPU, XLA on CPU);
     interpret runs the kernel in interpreter mode (CPU numerics tests).
+    kv_length ([B] int32) masks each row's keys past its true length — the
+    ring-varlen variant (reference ring_flash_attn_varlen_*); rows pad to
+    the common S, padded-key columns never contribute, and outputs at
+    padded query rows are garbage the caller slices away, matching the
+    reference's unpad semantics.
     """
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
@@ -158,24 +175,27 @@ def ring_attention(
     shard_len = s // n
 
     seq_spec = P(None, None, axis_name, None)
+    if kv_length is None:
+        kv_length = jnp.full((q.shape[0],), s, jnp.int32)
 
-    def body(q_l, k_l, v_l):
+    def body(q_l, k_l, v_l, len_l):
         my_idx = jax.lax.axis_index(axis_name)
         q_offset = my_idx * shard_len
         return _ring_body(axis_name, causal, sm_scale, q_l, k_l, v_l,
-                          q_offset, shard_len, use_flash, interpret)
+                          q_offset, shard_len, use_flash, interpret,
+                          kv_length=len_l)
 
     fn = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(seq_spec, seq_spec, seq_spec),
+        in_specs=(seq_spec, seq_spec, seq_spec, P(None)),
         out_specs=seq_spec,
         # Pallas's interpret-mode jaxpr evaluator trips shard_map's per-axis
         # type checks on kernel-internal constants (JAX's own message says
         # to pass check_vma=False); the compiled TPU path keeps full checks.
         check_vma=not interpret,
     )
-    return fn(q, k, v)
+    return fn(q, k, v, kv_length.astype(jnp.int32))
 
 
 # ---------------------------------------------------------------------------

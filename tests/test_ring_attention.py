@@ -197,3 +197,29 @@ class TestStripe:
                                     use_flash=True, interpret=True)
         ref = _attention_reference(q, k, v, causal=True, sm_scale=d**-0.5)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+class TestVarlen:
+    """Ring-varlen: per-row kv_length masking (reference
+    ring_flash_attn_varlen_*)."""
+
+    @pytest.mark.parametrize("use_flash", [False, True])
+    def test_ragged_rows_match_reference(self, mesh, use_flash, key):
+        b, h, s, d = 2, 4, 512, 16
+        lengths = jnp.asarray([300, 512], jnp.int32)
+        kq, kk, kv = jax.random.split(key, 3)
+        q = jax.random.normal(kq, (b, h, s, d))
+        k = jax.random.normal(kk, (b, h, s, d))
+        v = jax.random.normal(kv, (b, h, s, d))
+        out = ring_attention(q, k, v, mesh, "model", causal=True,
+                             kv_length=lengths,
+                             use_flash=use_flash, interpret=use_flash)
+        ref = _attention_reference(q, k, v, causal=True, sm_scale=d**-0.5,
+                                   kv_length=lengths)
+        # Compare only valid query rows (padded rows are garbage on both
+        # paths by design).
+        for row, n in enumerate([300, 512]):
+            np.testing.assert_allclose(
+                np.asarray(out)[row, :, :n], np.asarray(ref)[row, :, :n],
+                atol=2e-5,
+            )
