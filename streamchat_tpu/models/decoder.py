@@ -136,6 +136,46 @@ def _mm(x, w):
     return matmul_any(x, w)
 
 
+def _chunk_cache_attention(
+    q: jnp.ndarray,          # [B, Hq, C, Dh] this chunk's queries
+    k_cache: jnp.ndarray,    # [B, Hkv, Lmax, Dh] cache incl. this chunk
+    v_cache: jnp.ndarray,
+    q_offset: jnp.ndarray,   # [] global position of the chunk's first query
+    kv_length: jnp.ndarray,  # [B] valid cache tokens (incl. this chunk)
+) -> jnp.ndarray:
+    """Causal attention of a mid-prompt chunk against the whole cache.
+
+    The chunked-prefill primitive: global causal mask col <= q_offset + row,
+    keys masked past kv_length. Pallas partial kernel on TPU (normalized
+    here), XLA reference elsewhere.
+    """
+    b, hq, c, d = q.shape
+    sm_scale = d ** -0.5
+    lmax = k_cache.shape[2]
+    if (jax.default_backend() == "tpu" and c % 128 == 0 and lmax % 128 == 0):
+        from streamchat_tpu.ops.attention import flash_attention_partial
+
+        acc, _, l = flash_attention_partial(
+            q, k_cache, v_cache, q_offset, jnp.asarray(0), kv_length,
+            causal=True, sm_scale=sm_scale,
+        )
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        return (acc / l_safe[..., None]).astype(q.dtype)
+    hkv = k_cache.shape[1]
+    k = jnp.repeat(k_cache, hq // hkv, axis=1).astype(jnp.float32)
+    v = jnp.repeat(v_cache, hq // hkv, axis=1).astype(jnp.float32)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), k) * sm_scale
+    rows = q_offset + jax.lax.broadcasted_iota(jnp.int32, (c, lmax), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (c, lmax), 1)
+    s = jnp.where((cols <= rows)[None, None], s, -1e30)
+    s = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, lmax), 3)
+        < kv_length[:, None, None, None], s, -1e30,
+    )
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v).astype(q.dtype)
+
+
 def _layer(
     x: jnp.ndarray,
     p: Params,
@@ -146,11 +186,14 @@ def _layer(
     start: jnp.ndarray,
     kv_length: jnp.ndarray,
     decode: bool,
+    chunked: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One transformer block. Returns (x, new_cache_k, new_cache_v).
 
     cache_k/v: [B, Hkv, Lmax, Dh]; start: [B] write offset (== cache length
     before this call); kv_length: [B] valid KV length *after* writing.
+    chunked: mid-prompt prefill chunk — attend causally against the WHOLE
+    cache (previous chunks included) instead of just the fresh block.
     """
     b, s, d = x.shape
     hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -173,6 +216,8 @@ def _layer(
 
     if decode:
         o = decode_attention(q, new_k, new_v, kv_length)
+    elif chunked:
+        o = _chunk_cache_attention(q, new_k, new_v, start[0], kv_length)
     else:
         # Prefill: attend within the freshly written window (start == 0 for a
         # fresh cache; kv_length masks padding).
@@ -195,6 +240,7 @@ def forward(
     seq_length: jnp.ndarray,
     *,
     decode: bool,
+    chunked: bool = False,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Run the stack over input embeddings.
 
@@ -212,7 +258,8 @@ def forward(
     ck, cv = cache.k, cache.v
     for i, p in enumerate(params["layers"]):
         x, nk, nv = _layer(
-            x, p, cfg, positions, ck[i], cv[i], start, kv_length, decode
+            x, p, cfg, positions, ck[i], cv[i], start, kv_length, decode,
+            chunked,
         )
         ck = jax.lax.dynamic_update_index_in_dim(ck, nk.astype(ck.dtype), i, 0)
         cv = jax.lax.dynamic_update_index_in_dim(cv, nv.astype(cv.dtype), i, 0)
@@ -276,3 +323,72 @@ def decode_step(
         jnp.ones((b,), jnp.int32), decode=True,
     )
     return logits_from_hidden(params, cfg, hidden)[:, 0], cache
+
+
+def prefill_chunked(
+    params: Params,
+    cfg: DecoderConfig,
+    embeds: jnp.ndarray,        # [B, S, D] padded prompt
+    cache: KVCache,
+    seq_length: jnp.ndarray,    # [B] valid tokens
+    *,
+    chunk: int = 4096,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Long-prompt prefill in bounded-activation chunks -> (logits, cache).
+
+    A 23k-token prompt's MLP intermediates alone are ~2.6 GB at 7B geometry;
+    processing `chunk` tokens at a time against the growing cache caps the
+    activation peak at chunk/S of that while producing the same cache and
+    next-token logits (chunk attention is causal against the WHOLE cache via
+    _chunk_cache_attention). Requires a fresh cache (length 0); batch rows
+    must share the chunk containing their last token (B=1 — the streaming
+    pipeline's case — always qualifies). Standard chunked-prefill serving
+    semantics.
+    """
+    b, s, _ = embeds.shape
+    if s <= chunk:
+        return prefill(params, cfg, embeds, cache, seq_length)
+    if s % chunk:
+        # Pad to a chunk multiple; padded tail is masked via seq_length.
+        pad = chunk - s % chunk
+        embeds = jnp.pad(embeds, ((0, 0), (0, pad), (0, 0)))
+        s += pad
+    for off in range(0, s, chunk):
+        blk = jax.lax.slice_in_dim(embeds, off, off + chunk, axis=1)
+        positions = jnp.broadcast_to(
+            off + jnp.arange(chunk, dtype=jnp.int32)[None], (b, chunk)
+        )
+        # Every chunk writes at its uniform offset; rows shorter than the
+        # running offset write garbage that causal masking keeps invisible
+        # (a valid query at p < seq_length only sees cols <= p).
+        cache = KVCache(
+            k=cache.k, v=cache.v,
+            length=jnp.full((b,), off, jnp.int32),
+        )
+        _, cache = forward(
+            params, cfg, blk, positions, cache,
+            jnp.full((b,), chunk, jnp.int32),
+            decode=False, chunked=off > 0,
+        )
+    # kv_length must reflect the true ragged lengths for decoding. Garbage
+    # K/V written past each row's seq_length were never visible in-loop
+    # (causal: valid queries sit strictly before them) and are masked for
+    # decode by the length reset here.
+    cache = KVCache(k=cache.k, v=cache.v, length=seq_length.astype(jnp.int32))
+    # Next-token logits: re-run the chunk holding each row's last token
+    # against the completed cache (cheap — one chunk) and index its hidden.
+    last_pos = (seq_length - 1).astype(jnp.int32)
+    last_chunk_off = (last_pos // chunk) * chunk
+    blk = jax.vmap(
+        lambda e, o: jax.lax.dynamic_slice_in_dim(e, o, chunk, axis=0)
+    )(embeds, last_chunk_off)
+    positions = last_chunk_off[:, None] + jnp.arange(chunk, dtype=jnp.int32)[None]
+    scratch = KVCache(k=cache.k, v=cache.v, length=last_chunk_off)
+    hidden, _ = forward(
+        params, cfg, blk, positions, scratch,
+        jnp.full((b,), chunk, jnp.int32), decode=False, chunked=True,
+    )
+    last = jnp.take_along_axis(
+        hidden, (last_pos - last_chunk_off)[:, None, None], axis=1
+    )
+    return logits_from_hidden(params, cfg, last)[:, 0], cache

@@ -109,8 +109,19 @@ def generate(
     return toks, count
 
 
+CHUNKED_PREFILL_THRESHOLD = 8192
+
+
 def _prefill_inline(params, cfg, embeds, cache, seq_length):
     b, s, _ = embeds.shape
+    if s > CHUNKED_PREFILL_THRESHOLD:
+        # Long prompts (23k-token caption contexts at v0.3 settings) prefill
+        # in bounded-activation chunks — the one-shot MLP intermediates
+        # alone are ~2.6 GB at 7B geometry (decoder.prefill_chunked).
+        return decoder.prefill_chunked(
+            params, cfg, embeds, cache, seq_length,
+            chunk=CHUNKED_PREFILL_THRESHOLD // 2,
+        )
     positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
     hidden, cache = decoder.forward(
         params, cfg, embeds, positions, cache, seq_length, decode=False

@@ -437,10 +437,14 @@ def from_contiguous_int8(
     max_pages_per_seq: int,
     page_size: int = 128,
 ) -> "PagedKVCacheInt8":
-    """Quantizing twin of from_contiguous (dense bf16 prefill -> int8 pages)."""
+    """Quantizing twin of from_contiguous (dense bf16 prefill -> int8 pages).
+
+    Quantization runs per layer via lax.map so the f32 staging temp is
+    1/num_layers of the pool (a whole-pool f32 copy is ~2.7 GB at 7B/23k
+    tokens — real OOM territory on the 16 GB chip)."""
     base = from_contiguous(cache, num_pages, max_pages_per_seq, page_size)
-    k_i8, k_s = _quantize_kv(base.k_pages)
-    v_i8, v_s = _quantize_kv(base.v_pages)
+    k_i8, k_s = jax.lax.map(_quantize_kv, base.k_pages)
+    v_i8, v_s = jax.lax.map(_quantize_kv, base.v_pages)
     return PagedKVCacheInt8(
         k_pages=k_i8, v_pages=v_i8, k_scale=k_s, v_scale=v_s,
         page_table=base.page_table, length=base.length,

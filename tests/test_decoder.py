@@ -128,3 +128,56 @@ def test_ragged_batch_decode_matches_single(key):
         lm.generate(p, max_new_tokens=6, temperature=0.0) for p in prompts
     ]
     assert batch == singles
+
+
+class TestChunkedPrefill:
+    """decoder.prefill_chunked: bounded-activation long-prompt prefill."""
+
+    def test_matches_one_shot(self, params, key):
+        """Chunked prefill reproduces the one-shot cache and logits, and the
+        subsequent greedy decode is token-identical (ragged batch whose rows
+        share the final chunk)."""
+        b, s, chunk = 2, 96, 32
+        lengths = jnp.asarray([90, 70], jnp.int32)
+        ids = jax.random.randint(key, (b, s), 0, CFG.vocab_size)
+        embeds = _embeds(params, ids)
+        # Zero the padding rows like real padded prompts.
+        mask = (jnp.arange(s)[None] < lengths[:, None])[..., None]
+        embeds = jnp.where(mask, embeds, 0.0)
+
+        cache_a = KVCache.create(CFG, b, 128, jnp.float32)
+        la, cache_a = decoder.prefill(params, CFG, embeds, cache_a, lengths)
+        cache_b = KVCache.create(CFG, b, 128, jnp.float32)
+        lb, cache_b = decoder.prefill_chunked(
+            params, CFG, embeds, cache_b, lengths, chunk=chunk
+        )
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=2e-4, atol=2e-4)
+        # Valid cache slots agree.
+        for row, n in enumerate([90, 70]):
+            np.testing.assert_allclose(
+                np.asarray(cache_a.k)[:, row, :, :n],
+                np.asarray(cache_b.k)[:, row, :, :n], atol=2e-5,
+            )
+        # Greedy continuation identical.
+        ta = jnp.argmax(la, -1).astype(jnp.int32)
+        tb = jnp.argmax(lb, -1).astype(jnp.int32)
+        for _ in range(4):
+            la, cache_a = decoder.decode_step(params, CFG, ta, cache_a)
+            lb, cache_b = decoder.decode_step(params, CFG, tb, cache_b)
+            ta = jnp.argmax(la, -1).astype(jnp.int32)
+            tb = jnp.argmax(lb, -1).astype(jnp.int32)
+            np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))
+
+    def test_short_prompt_falls_through(self, params, key):
+        ids = jax.random.randint(key, (1, 16), 0, CFG.vocab_size)
+        embeds = _embeds(params, ids)
+        cache = KVCache.create(CFG, 1, 32, jnp.float32)
+        l1, _ = decoder.prefill_chunked(
+            params, CFG, embeds, cache, jnp.array([16], jnp.int32), chunk=64
+        )
+        cache2 = KVCache.create(CFG, 1, 32, jnp.float32)
+        l2, _ = decoder.prefill(
+            params, CFG, embeds, cache2, jnp.array([16], jnp.int32)
+        )
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-6)
