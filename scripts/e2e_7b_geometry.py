@@ -88,8 +88,14 @@ def init_quantized_decoder(key, cfg):
                                                   jnp.bfloat16)
         layers.append(layer)
     params = {
-        "embed": (jax.random.normal(next(keys), (cfg.vocab_size, d)) * 0.02
-                  ).astype(jnp.bfloat16),
+        # Token table born int8 rows too (ops/quant.quantize_embedding
+        # layout): LLaMA-3's bf16 table alone is 1.05 GB.
+        "embed": {
+            "w_i8": jax.random.randint(
+                next(keys), (cfg.vocab_size, d), -127, 128, jnp.int8
+            ),
+            "scale": jnp.full((cfg.vocab_size,), 0.02 / 64.0, jnp.float32),
+        },
         "layers": layers,
         "final_norm": jnp.ones((d,), jnp.bfloat16),
     }
@@ -124,7 +130,8 @@ def stage1_pipeline(report):
     jax.block_until_ready(dec_params["embed"])
     log(f"  init {time.time()-t0:.1f}s; quantizing to int8 (destructive) ...")
     t0 = time.time()
-    dec_params = quantize_decoder_params(dec_params, destructive=True)
+    dec_params = quantize_decoder_params(dec_params, destructive=True,
+                                         quantize_embed=True)
     jax.block_until_ready(dec_params["layers"][0]["attn"]["q"]["w_i8"])
     gc.collect()
     report["quantize_7b_s"] = round(time.time() - t0, 1)

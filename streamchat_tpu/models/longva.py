@@ -138,15 +138,19 @@ class LongVA:
         )
         return self
 
-    def quantize(self) -> "LongVA":
+    def quantize(self, quantize_embed: bool = False) -> "LongVA":
         """Switch the decoder to int8 weight-only storage (ops/quant.py).
 
         Halves decode's per-token HBM traffic — the measured v5e decode is
         weight-bandwidth bound, so this is ~2x single-stream decode latency.
-        The ViT/projector stay bf16 (ingest is activation-bound, CLAUDE.md)."""
+        The ViT/projector stay bf16 (ingest is activation-bound, CLAUDE.md).
+        quantize_embed also stores the token table as int8 rows (pure HBM
+        saving; Qwen2's table alone is 1.09 GB bf16)."""
         from streamchat_tpu.ops.quant import quantize_decoder_params
 
-        self.dec_params = quantize_decoder_params(self.dec_params)
+        self.dec_params = quantize_decoder_params(
+            self.dec_params, quantize_embed=quantize_embed
+        )
         return self
 
     # ------------------------------------------------------------------
@@ -183,8 +187,10 @@ class LongVA:
         like the reference's tokenizer_model_max_length clamp
         (llava_arch.py:288-291).
         """
+        from streamchat_tpu.ops.quant import embed_dtype
+
         ids = tokenize_with_image_token(prompt, self.tokenizer)
-        dtype = self.dec_params["embed"].dtype
+        dtype = embed_dtype(self.dec_params)
         segments: List[jnp.ndarray] = []
         img_idx = 0
         text_run: List[int] = []

@@ -90,14 +90,16 @@ class TextLM:
         per-GPU process fan-out)."""
         if not prompts:
             return []
-        dtype = self.params["embed"].dtype
+        from streamchat_tpu.ops.quant import embed_dim, embed_dtype
+
+        dtype = embed_dtype(self.params)
         # Judge/chat prompts carry explicit special tokens (the hand-built
         # <|begin_of_text|> header) — never let the tokenizer add a 2nd BOS.
         ids = [self.tokenizer.encode(p, add_special_tokens=False) for p in prompts]
         lengths = [len(i) for i in ids]
         padded = genlib.pad_to_bucket(max(lengths))
         b = len(prompts)
-        d = self.params["embed"].shape[1]
+        d = embed_dim(self.params)
         embeds = jnp.zeros((b, padded, d), dtype)
         for row, seq in enumerate(ids):
             e = decoder.embed_tokens(self.params, jnp.asarray(seq, jnp.int32))

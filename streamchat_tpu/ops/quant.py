@@ -67,14 +67,16 @@ def matmul_any(x: jnp.ndarray, w: Any) -> jnp.ndarray:
 
 
 def quantize_decoder_params(
-    params: Dict, quantize_lm_head: bool = True, destructive: bool = False
+    params: Dict, quantize_lm_head: bool = True, destructive: bool = False,
+    quantize_embed: bool = False,
 ) -> Dict:
     """Quantize every decoder matmul weight (returns a new pytree).
 
     Per-layer q/k/v/o (weights only; biases stay bf16), gate/up/down, and
-    optionally lm_head. The token embedding stays bf16: it is gathered one
-    row per token (no bandwidth win) and embedding-tied logits would double
-    quantization error.
+    optionally lm_head. quantize_embed additionally stores the token table
+    as int8 rows + per-row scales (quantize_embedding) — a pure HBM saving
+    (the gather reads one row per token); default off because tied-embedding
+    logits would double quantization error (Qwen2/LLaMA-3 are untied).
 
     destructive=True drops each source weight as soon as its int8 twin
     exists, so peak HBM stays ~one weight above the bf16 tree instead of
@@ -107,4 +109,34 @@ def quantize_decoder_params(
         out["lm_head"] = quantize_weight(params["lm_head"])
         if destructive:
             del params["lm_head"]
+    if quantize_embed:
+        out["embed"] = quantize_embedding(params["embed"])
+        if destructive:
+            del params["embed"]
     return out
+
+
+def quantize_embedding(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Embedding table [V, D] -> int8 rows + per-ROW scales.
+
+    Lookup-oriented layout (vs quantize_weight's per-output-column): each
+    vocab row dequantizes independently at gather time. The 152k x 3584
+    Qwen2 table is 1.09 GB bf16 — halving it matters on a 15 GB-usable chip
+    serving the whole pipeline.
+    """
+    w32 = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=1)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    w_i8 = jnp.clip(jnp.round(w32 / scale[:, None]), -127, 127).astype(jnp.int8)
+    return {"w_i8": w_i8, "scale": scale}
+
+
+def embed_dtype(params: Dict):
+    """Activation dtype of the embedding output (bf16 for int8 tables)."""
+    emb = params["embed"]
+    return jnp.bfloat16 if is_quantized(emb) else emb.dtype
+
+
+def embed_dim(params: Dict) -> int:
+    emb = params["embed"]
+    return (emb["w_i8"] if is_quantized(emb) else emb).shape[1]

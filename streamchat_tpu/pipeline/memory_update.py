@@ -103,6 +103,14 @@ def update_memory(
     k1, k2 = jax.random.split(key)
     short = build_short_memory(features, cfg, k1)
     raw_chunks, node_feats = chunk_and_cluster(features, cfg, k2, cluster_full_chunks)
-    captions = [caption_fn(c) for c in raw_chunks]
+    del features  # chunk copies + short memory carry everything needed
+    # Caption chunk-by-chunk and release each raw chunk as soon as its
+    # caption exists — at v0.3 settings the raw chunks total ~1 GB of HBM
+    # at 7B geometry, and each 23k-token caption prefill needs that room.
+    captions = []
+    while raw_chunks:
+        chunk = raw_chunks.pop(0)
+        captions.append(caption_fn(chunk))
+        del chunk
     tree.add_chunks(node_feats, captions)
     return tree, short

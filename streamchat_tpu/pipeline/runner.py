@@ -144,6 +144,10 @@ class StreamChatPipeline:
                         self._next_key(),
                         cluster_full_chunks=self.cluster_full_chunks,
                     )
+                # The segment's full feature stack (~1 GB at v0.3 settings,
+                # 7B geometry) is consumed by the update; holding it through
+                # captioning/answering costs real HBM headroom.
+                features = None
             # An empty segment (e.g. two breakpoints inside the same second)
             # still gets answered from the PREVIOUS short memory + tree,
             # like the reference, which only refreshes the buffers when the

@@ -161,3 +161,26 @@ def test_quantized_checkpoint_roundtrip(params, key, tmp_path):
     t1, _ = generate(qparams, CFG, embeds, length, jax.random.key(0), **kw)
     t2, _ = generate(loaded, CFG, embeds, length, jax.random.key(0), **kw)
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_quantized_embedding_lookup(params, key):
+    """Int8 embedding rows dequantize at gather; generation still runs."""
+    from streamchat_tpu.models.generate import generate
+    from streamchat_tpu.ops.quant import embed_dim, embed_dtype, quantize_embedding
+
+    qparams = quantize_decoder_params(params, quantize_embed=True)
+    assert qparams["embed"]["w_i8"].dtype == jnp.int8
+    assert embed_dim(qparams) == CFG.hidden_size
+    assert embed_dtype(qparams) == jnp.bfloat16
+    ids = jax.random.randint(key, (1, 10), 0, CFG.vocab_size)
+    e_full = decoder.embed_tokens(params, ids)
+    e_q = decoder.embed_tokens(qparams, ids)
+    # Per-row int8: relative error ~< 1/127 per element.
+    err = np.max(np.abs(np.asarray(e_q, np.float32) - np.asarray(e_full)))
+    amax = np.max(np.abs(np.asarray(e_full)))
+    assert err <= amax / 100
+    toks, _ = generate(
+        qparams, CFG, e_q, jnp.array([10], jnp.int32), jax.random.key(0),
+        max_new_tokens=4, temperature=0.0,
+    )
+    assert toks.shape == (1, 4)
