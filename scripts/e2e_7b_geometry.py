@@ -173,7 +173,9 @@ def stage1_pipeline(report):
             compress_rate=V03["compress_rate"],
         ),
         sampling=SamplingConfig(temperature=V03["temperature"]),
-        video=VideoConfig(sample_rate=V03["sample_rate"]),
+        # ingest_batch 64: the encode program's workspace shares the chip
+        # with the 7B decoder here; 128 is the solo-throughput optimum.
+        video=VideoConfig(sample_rate=V03["sample_rate"], ingest_batch=64),
         multi_modal_memory=True,
     )
     pipe = StreamChatPipeline(model, tree_emb, bank_emb, cfg)

@@ -64,6 +64,10 @@ class VideoConfig:
     frame_cap: int = 200          # clamp when sampled frames exceed frame_cap_trigger
     frame_cap_trigger: int = 900  # reference: >900 sampled frames -> clamp to 200
     image_size: int = 336         # CLIP ViT-L/14-336 input
+    # ViT encode batch. 128 is the measured v5e throughput optimum
+    # (CLAUDE.md); drop to 64 when the decoder shares the chip and HBM
+    # headroom is tight (the encode program's workspace scales with batch).
+    ingest_batch: int = 128
     # Selective frame stacking (paper's scene-change dedup; cosine-similarity
     # replacement for the reference's optical-flow test at utiles.py:182-248).
     dedup_threshold: float = 0.0  # 0.0 disables; v0.3 benchmark path uses uniform sampling

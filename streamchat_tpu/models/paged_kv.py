@@ -439,16 +439,46 @@ def from_contiguous_int8(
 ) -> "PagedKVCacheInt8":
     """Quantizing twin of from_contiguous (dense bf16 prefill -> int8 pages).
 
-    Quantization runs per layer via lax.map so the f32 staging temp is
-    1/num_layers of the pool (a whole-pool f32 copy is ~2.7 GB at 7B/23k
-    tokens — real OOM territory on the 16 GB chip)."""
-    base = from_contiguous(cache, num_pages, max_pages_per_seq, page_size)
-    k_i8, k_s = jax.lax.map(_quantize_kv, base.k_pages)
-    v_i8, v_s = jax.lax.map(_quantize_kv, base.v_pages)
+    Quantize-and-repage runs PER LAYER via lax.map: the earlier
+    materialize-bf16-pages-then-quantize form transiently held the dense
+    cache + a bf16 pool + the int8 pool (~3.5 GB at 7B/23k tokens); here the
+    extra live set is one layer's worth (~50 MB)."""
+    l, b, hkv, lmax, dh = cache.k.shape
+    if lmax % page_size:
+        raise ValueError(f"Lmax={lmax} not a multiple of page_size={page_size}")
+    pages_per_row = lmax // page_size
+    if pages_per_row > max_pages_per_seq:
+        raise ValueError("max_pages_per_seq too small for the source cache")
+    if b * pages_per_row > num_pages:
+        raise ValueError("page pool too small for the source cache")
+
+    def one_layer(kv_layer):
+        k_l, v_l = kv_layer                    # [B, Hkv, Lmax, Dh] bf16
+        def repage_q(x):
+            vals, scale = _quantize_kv(x)
+            def pg(t, tail):
+                t = t.reshape((b, hkv, pages_per_row, page_size) + tail)
+                t = jnp.moveaxis(t, 2, 1)       # [B, ppr, Hkv, ps, ...]
+                out_shape = (num_pages, hkv, page_size) + tail
+                out = jnp.zeros(out_shape, t.dtype)
+                return out.at[: b * pages_per_row].set(
+                    t.reshape((b * pages_per_row, hkv, page_size) + tail)
+                )
+            return pg(vals, (dh,)), pg(scale, ())
+        k_i8, k_s = repage_q(k_l)
+        v_i8, v_s = repage_q(v_l)
+        return k_i8, k_s, v_i8, v_s
+
+    k_i8, k_s, v_i8, v_s = jax.lax.map(one_layer, (cache.k, cache.v))
+    table = jnp.full((b, max_pages_per_seq), -1, jnp.int32)
+    row_pages = (
+        jnp.arange(b)[:, None] * pages_per_row + jnp.arange(pages_per_row)[None]
+    )
+    table = table.at[:, :pages_per_row].set(row_pages)
     return PagedKVCacheInt8(
         k_pages=k_i8, v_pages=v_i8, k_scale=k_s, v_scale=v_s,
-        page_table=base.page_table, length=base.length,
-        next_free=base.next_free,
+        page_table=table, length=cache.length + 0,
+        next_free=jnp.asarray(b * pages_per_row, jnp.int32),
     )
 
 

@@ -41,16 +41,18 @@ def encode_segment(
     end_s: float,
     cfg: VideoConfig,
     chunk_size: int,
-    max_batch: int = 128,
+    max_batch: int | None = None,
 ) -> jnp.ndarray:
     """Encode a [start_s, end_s) segment -> features [N, P, D] (bf16).
 
     `model` provides `encode_images(pixels[N,3,S,S]) -> [N, P, D]`
     (LongVA.encode_images). Batched in `max_batch` slices to bound HBM for
     long segments; XLA reuses one compiled program per slice shape.
-    max_batch=128 is the measured v5e throughput optimum (bench.py; larger
-    batches are SLOWER — 203 f/s at 384 vs 227+ at 128, CLAUDE.md).
+    max_batch defaults to cfg.ingest_batch (128 is the measured v5e
+    throughput optimum — bench.py; larger batches are SLOWER, CLAUDE.md).
     """
+    if max_batch is None:
+        max_batch = cfg.ingest_batch
     indices = segment_indices(reader, start_s, end_s, cfg, chunk_size)
     if not indices:
         return jnp.zeros((0, 1, 1), jnp.bfloat16)
