@@ -164,8 +164,12 @@ def stage1_pipeline(report):
         vit_params=vit_params, proj_params=proj_params, dec_params=dec_params,
         vit_cfg=vit_cfg, dec_cfg=dec_cfg, tokenizer=ByteTokenizer(),
         keys=KeySeq(7),
-        # Production decode path: paged with int8 KV pages.
+        # Production decode path: paged with int8 KV pages. Coarse prompt
+        # buckets (2048) keep the set of compiled programs small — each
+        # axon executable permanently reserves its workspace, and
+        # per-segment answer shapes were evicting the caption program.
         kv_int8=True,
+        prompt_bucket=2048,
     )
     report["kv_cache"] = "paged int8 (per-token-head scales), chunked prefill"
     report["chunk_size_note"] = (
@@ -189,6 +193,20 @@ def stage1_pipeline(report):
         multi_modal_memory=True,
     )
     pipe = StreamChatPipeline(model, tree_emb, bank_emb, cfg)
+
+    # Per-call progress: which caption/answer dies (and how long each takes).
+    orig_caption = pipe._caption
+    state = {"n": 0}
+
+    def logged_caption(chunk):
+        state["n"] += 1
+        t0 = time.time()
+        log(f"caption #{state['n']} (chunk {tuple(chunk.shape)}) ...")
+        out = orig_caption(chunk)
+        log(f"caption #{state['n']} done in {time.time()-t0:.1f}s")
+        return out
+
+    pipe._caption = logged_caption
 
     # 120 s video at 30 fps, 3 breakpoints — 40 s segments -> 240 sampled
     # frames/segment at rate 0.2 -> 6 full 40-frame chunks per segment.

@@ -60,6 +60,13 @@ class LongVA:
     # long caption prefills at 7B need this to fit one 16 GB chip).
     # Exclusive with kv_budget_tokens for now.
     kv_int8: bool = False
+    # Prompt padding bucket. 128 minimizes wasted prefill; COARSER buckets
+    # (e.g. 2048) collapse varying prompt lengths into a handful of compiled
+    # programs — on the axon backend every executable permanently reserves
+    # its workspace, so unbounded shape variety eventually OOMs a long
+    # session (observed: per-segment answer shapes evicting the caption
+    # program's headroom at 7B geometry).
+    prompt_bucket: int = 128
 
     # ------------------------------------------------------------------
     # Construction
@@ -177,7 +184,7 @@ class LongVA:
         self,
         prompt: str,
         image_embeddings: Optional[Sequence[jnp.ndarray]],
-        bucket: int = 128,
+        bucket: Optional[int] = None,
         max_len: Optional[int] = None,
     ) -> Tuple[jnp.ndarray, int]:
         """Prompt text -> (padded embeds [1, S_pad, D], valid length).
@@ -221,7 +228,9 @@ class LongVA:
         limit = max_len or self.dec_cfg.max_position_embeddings
         embeds = embeds[:limit]
         length = embeds.shape[0]
-        padded = genlib.pad_to_bucket(length, bucket)
+        if bucket is None:
+            bucket = self.prompt_bucket
+        padded = genlib.pad_to_bucket(length, bucket, minimum=bucket)
         if padded > length:
             pad = jnp.zeros((padded - length, embeds.shape[1]), embeds.dtype)
             embeds = jnp.concatenate([embeds, pad], axis=0)
