@@ -249,8 +249,10 @@ class LongVA:
         temperature: float = 0.0,
         top_p: float | None = None,
         key: jax.Array | None = None,
+        bucket: Optional[int] = None,
     ) -> str:
-        embeds, length = self.splice_prompt(prompt, image_embeddings)
+        embeds, length = self.splice_prompt(prompt, image_embeddings,
+                                            bucket=bucket)
         common = dict(
             max_new_tokens=max_new_tokens,
             temperature=temperature,

@@ -137,6 +137,11 @@ def make_captioner(model, sampling: SamplingConfig):
             image_embeddings=[flat],
             max_new_tokens=sampling.max_caption_tokens,
             temperature=sampling.caption_temperature,
+            # Captions are fixed-size (whole chunks of chunk_size frames):
+            # fine 128-token buckets give ONE stable shape regardless of the
+            # model's coarse prompt_bucket (which serves the answers' varying
+            # retrieval sizes).
+            bucket=128,
         )
 
     return caption
