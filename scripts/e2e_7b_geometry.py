@@ -164,12 +164,17 @@ def stage1_pipeline(report):
         vit_params=vit_params, proj_params=proj_params, dec_params=dec_params,
         vit_cfg=vit_cfg, dec_cfg=dec_cfg, tokenizer=ByteTokenizer(),
         keys=KeySeq(7),
-        # Production decode path: paged with int8 KV pages. Coarse prompt
-        # buckets (2048) keep the set of compiled programs small — each
-        # axon executable permanently reserves its workspace, and
-        # per-segment answer shapes were evicting the caption program.
+        # Production decode path: paged with int8 KV pages. ONE constant
+        # answer/summary shape for the whole session: each axon executable
+        # permanently reserves its workspace, and the per-segment answer
+        # growth (tree deepens -> longer retrieval) was compiling a new 7B
+        # program each segment until the caption program no longer fit
+        # (observed twice, both at segment 3's first caption). 12288 covers
+        # short memory + 3 retrieval levels + text at these settings, so the
+        # session uses exactly TWO decoder programs: caption(11648,128) and
+        # answer/summary(12288,256).
         kv_int8=True,
-        prompt_bucket=2048,
+        prompt_bucket=12288,
     )
     report["kv_cache"] = "paged int8 (per-token-head scales), chunked prefill"
     report["chunk_size_note"] = (
