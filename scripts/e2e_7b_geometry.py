@@ -191,7 +191,11 @@ def stage1_pipeline(report):
             remember_window=V03["remember_window"], tau=V03["tau"],
             compress_rate=V03["compress_rate"],
         ),
-        sampling=SamplingConfig(temperature=V03["temperature"]),
+        # Visual-token budget keeps the answer prompt inside ONE 12288
+        # bucket as the tree deepens (unbounded retrieval compiled a third
+        # 7B program at segment 2's answer and evicted the caption program).
+        sampling=SamplingConfig(temperature=V03["temperature"],
+                                max_visual_tokens=8640),
         # ingest_batch 64: the encode program's workspace shares the chip
         # with the 7B decoder here; 128 is the solo-throughput optimum.
         video=VideoConfig(sample_rate=V03["sample_rate"], ingest_batch=64),

@@ -54,6 +54,14 @@ class SamplingConfig:
     max_caption_tokens: int = 128
     max_summary_tokens: int = 256
     caption_temperature: float = 0.1
+    # Cap on spliced visual tokens per answer (None = unbounded, the
+    # reference's literal behavior — its only clamp is the 224k
+    # tokenizer_model_max_length). The tree deepens over a stream, so
+    # unbounded retrieval grows the answer prompt without limit; a budget
+    # keeps one compiled answer shape and bounds per-round latency. When
+    # over budget, the COARSEST retrieved levels are dropped first (short
+    # memory and the finest level always survive).
+    max_visual_tokens: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)

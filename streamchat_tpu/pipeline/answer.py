@@ -53,9 +53,20 @@ def answer_question(
     if tree is not None and len(tree) > 0:
         feats, texts = tree.search(embed_query(question))
         if feats:
-            long_flat = jnp.concatenate(
-                [f.reshape(-1, f.shape[-1]) for f in feats], axis=0
-            )
+            flat_levels = [f.reshape(-1, f.shape[-1]) for f in feats]
+            budget = sampling.max_visual_tokens
+            if budget is not None:
+                # Drop the COARSEST levels first (search returns coarse ->
+                # fine); short memory and the finest level always survive.
+                keep: List[jnp.ndarray] = []
+                used = short_flat.shape[0]
+                for f in reversed(flat_levels):        # fine -> coarse
+                    if keep and used + f.shape[0] > budget:
+                        break
+                    keep.append(f)
+                    used += f.shape[0]
+                flat_levels = list(reversed(keep))
+            long_flat = jnp.concatenate(flat_levels, axis=0)
             most_fine_grad_text = texts[-1]
             image_embeddings = jnp.concatenate([short_flat, long_flat], axis=0)
 
