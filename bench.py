@@ -167,32 +167,33 @@ def main() -> None:
 
     if os.environ.get("SC_BENCH_SKIP_ANSWER", "") != "1":
         full_layers = 2 if small else 28
+        # The answer metric is the PRODUCTION serving mode: int8 weight-only
+        # decoder through the paged Pallas decode kernel. (bf16 measured
+        # 5.50 s at the same shape — set SC_BENCH_BF16=1 to re-measure; it
+        # and the int8 pass together exceed the 10-minute relay budget now
+        # that the paged kernel's compile is in the program.)
         try:
-            p50, times = bench_answer_latency(small, full_layers)
+            p50, times = bench_answer_latency(small, full_layers, int8=True)
             extrapolated = False
         except Exception:
-            # Full 7B bf16 (~15.2 GB) can exceed the 16 GB chip: re-measure
-            # at half depth and double (time is linear in layers).
             gc.collect()
-            p50, times = bench_answer_latency(small, full_layers // 2)
+            p50, times = bench_answer_latency(small, full_layers // 2, int8=True)
             p50, times = 2 * p50, [2 * t for t in times]
             extrapolated = True
         out.update({
             "answer_p50_s": round(p50, 3),
             "answer_vs_baseline": round(BASELINE_ANSWER_P50 / p50, 3),
             "answer_rounds_s": [round(t, 3) for t in times],
+            "answer_dtype": "int8 weight-only (production serving mode)",
             "answer_extrapolated": extrapolated,
         })
-        gc.collect()
-        # Production serving mode: int8 weight-only decoder (LongVA.quantize).
-        try:
-            p50_q, times_q = bench_answer_latency(small, full_layers, int8=True)
-            out.update({
-                "answer_p50_int8_s": round(p50_q, 3),
-                "answer_int8_vs_baseline": round(BASELINE_ANSWER_P50 / p50_q, 3),
-            })
-        except Exception:
-            pass
+        if os.environ.get("SC_BENCH_BF16", "") == "1":
+            gc.collect()
+            try:
+                p50_f, _ = bench_answer_latency(small, full_layers)
+                out["answer_p50_bf16_s"] = round(p50_f, 3)
+            except Exception:
+                pass
 
     print(json.dumps(out))
 
