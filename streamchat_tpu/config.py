@@ -54,6 +54,12 @@ class SamplingConfig:
     max_caption_tokens: int = 128
     max_summary_tokens: int = 256
     caption_temperature: float = 0.1
+    # Chunk captions per batched generate call (1 = the reference's strictly
+    # sequential captioning, utiles.py:539-556). Batching amortizes per-call
+    # dispatch overhead and reads decode weights once per step for the whole
+    # batch; HBM-bound deployments size this against the KV pool
+    # (batch x context tokens of cache).
+    caption_batch: int = 1
     # Cap on spliced visual tokens per answer (None = unbounded, the
     # reference's literal behavior — its only clamp is the 224k
     # tokenizer_model_max_length). The tree deepens over a stream, so

@@ -310,6 +310,62 @@ class LongVA:
             "sink_size": sink,
         }
 
+    def generate_with_image_embedding_batch(
+        self,
+        prompts: Sequence[str],
+        image_embeddings: Sequence[Optional[Sequence[jnp.ndarray]]],
+        *,
+        max_new_tokens: int = 256,
+        temperature: float = 0.0,
+        top_p: float | None = None,
+        key: jax.Array | None = None,
+        bucket: Optional[int] = None,
+    ) -> List[str]:
+        """Batched multimodal generation: one prefill + one fused decode
+        loop serve all rows (ragged lengths; rows pad to the longest row's
+        bucket). The reference captions chunks strictly sequentially
+        (utiles.py:539-556) — batching amortizes per-call host/dispatch
+        overhead and reads the decode weights once per step for the whole
+        batch instead of once per caption."""
+        if not prompts:
+            return []
+        spliced = [
+            self.splice_prompt(p, embs, bucket=bucket)
+            for p, embs in zip(prompts, image_embeddings)
+        ]
+        max_pad = max(e.shape[1] for e, _ in spliced)
+        rows = [
+            jnp.pad(e, ((0, 0), (0, max_pad - e.shape[1]), (0, 0)))
+            for e, _ in spliced
+        ]
+        embeds = jnp.concatenate(rows, axis=0)
+        lengths = jnp.asarray([n for _, n in spliced], jnp.int32)
+        common = dict(
+            max_new_tokens=max_new_tokens,
+            temperature=temperature,
+            top_p=top_p,
+            eos_ids=tuple(self.tokenizer.eos_ids),
+        )
+        k = key if key is not None else self.keys()
+        if self.decode_backend == "paged" and self.kv_budget_tokens is None:
+            from streamchat_tpu.models.generate_paged import generate_paged
+
+            toks, count = generate_paged(
+                self.dec_params, self.dec_cfg, embeds, lengths, k,
+                **common, **self._paged_budget(max_pad, max_new_tokens),
+            )
+        else:
+            toks, count = genlib.generate(
+                self.dec_params, self.dec_cfg, embeds, lengths, k, **common
+            )
+        out = []
+        for row in range(len(prompts)):
+            n = int(count[row])
+            out.append(
+                self.tokenizer.decode([int(t) for t in toks[row][:n]]).strip()
+            )
+        return out
+
     def score_with_image_embedding(
         self,
         prompt: str,

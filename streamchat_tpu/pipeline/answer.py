@@ -155,6 +155,21 @@ def make_captioner(model, sampling: SamplingConfig):
             bucket=128,
         )
 
+    def caption_batch(chunks: List[jnp.ndarray]) -> List[str]:
+        """Caption several chunks in ONE batched generate (sampling.
+        caption_batch > 1): one prefill + one fused decode loop; decode
+        weight reads amortize across the batch."""
+        flats = [c.reshape(-1, c.shape[-1]) for c in chunks]
+        return model.generate_with_image_embedding_batch(
+            [prompt] * len(flats),
+            [[f] for f in flats],
+            max_new_tokens=sampling.max_caption_tokens,
+            temperature=sampling.caption_temperature,
+            bucket=128,
+        )
+
+    caption.batch = caption_batch
+    caption.batch_size = max(1, sampling.caption_batch)
     return caption
 
 

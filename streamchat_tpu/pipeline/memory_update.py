@@ -104,13 +104,28 @@ def update_memory(
     short = build_short_memory(features, cfg, k1)
     raw_chunks, node_feats = chunk_and_cluster(features, cfg, k2, cluster_full_chunks)
     del features  # chunk copies + short memory carry everything needed
-    # Caption chunk-by-chunk and release each raw chunk as soon as its
+    # Caption group-by-group and release each raw chunk as soon as its
     # caption exists — at v0.3 settings the raw chunks total ~1 GB of HBM
-    # at 7B geometry, and each 23k-token caption prefill needs that room.
+    # at 7B geometry, and each long caption prefill needs that room.
+    # Captioners may expose a `.batch` method (answer.make_captioner) with a
+    # `.batch_size`; group size 1 reproduces the reference's strictly
+    # sequential captioning.
+    batch_fn = getattr(caption_fn, "batch", None)
+    group_size = getattr(caption_fn, "batch_size", 1)
     captions = []
     while raw_chunks:
-        chunk = raw_chunks.pop(0)
-        captions.append(caption_fn(chunk))
-        del chunk
+        if batch_fn is not None and group_size > 1:
+            group = [raw_chunks.pop(0)
+                     for _ in range(min(group_size, len(raw_chunks)))]
+            # Batching only pays when there is more than one chunk left.
+            if len(group) == 1:
+                captions.append(caption_fn(group[0]))
+            else:
+                captions.extend(batch_fn(group))
+            del group
+        else:
+            chunk = raw_chunks.pop(0)
+            captions.append(caption_fn(chunk))
+            del chunk
     tree.add_chunks(node_feats, captions)
     return tree, short

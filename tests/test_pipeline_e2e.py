@@ -308,3 +308,28 @@ def test_num_beams_rejected():
     greedily in silence (VERDICT r1 item 5)."""
     with pytest.raises(NotImplementedError, match="num_beams"):
         SamplingConfig(num_beams=4)
+
+
+def test_batched_captioning_matches_sequential(tmp_path):
+    """caption_batch > 1 routes chunks through one batched generate and, at
+    temperature 0, produces the same captions (hence the same tree) as the
+    reference's sequential path."""
+    pipe_seq = _fresh_pipeline()
+    pipe_bat = _fresh_pipeline(sampling_kw={"caption_batch": 4})
+    import numpy as np
+
+    from streamchat_tpu.pipeline.memory_update import update_memory
+
+    feats = jax.random.normal(
+        jax.random.key(5),
+        (20, 4, pipe_seq.model.dec_cfg.hidden_size),  # tiny "patches"
+    )
+    outs = []
+    for pipe in (pipe_seq, pipe_bat):
+        tree = pipe.new_tree()
+        tree, short = update_memory(
+            feats, tree, pipe._caption, pipe.cfg.memory, jax.random.key(9),
+        )
+        outs.append(([n.text for n in tree.roots], np.asarray(short)))
+    assert outs[0][0] == outs[1][0], "batched captions diverge from sequential"
+    np.testing.assert_allclose(outs[0][1], outs[1][1])
