@@ -68,6 +68,10 @@ def generate(
     b = prompt_embeds.shape[0]
     if max_len is None:
         max_len = prompt_embeds.shape[1] + max_new_tokens
+    # Align cache Lmax to the flash block (128): chunked prefill's Pallas
+    # chunk-vs-cache kernel requires a 128-multiple Lmax, and the ~<=127
+    # extra KV slots (~33 MB at 7B geometry) are masked by kv_length anyway.
+    max_len = -(-max_len // 128) * 128
     cache = KVCache.create(cfg, b, max_len, dtype=prompt_embeds.dtype)
 
     first_logits, cache = _prefill_inline(params, cfg, prompt_embeds, cache, seq_length)
