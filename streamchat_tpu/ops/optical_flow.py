@@ -27,10 +27,15 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-SOBEL_X = jnp.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32)
-SOBEL_Y = jnp.array([[-1, -2, -1], [0, 0, 0], [1, 2, 1]], jnp.float32)
-RGB_WEIGHTS = jnp.array([0.2989, 0.5870, 0.1140], jnp.float32)
+# Plain numpy at module scope: importing this module must not dispatch on any
+# jax backend (a module-level jnp.array() eagerly initializes the default
+# platform, which crashed the driver's multichip dryrun in rounds 1-2 when the
+# default backend was the broken axon tunnel). jnp ops convert these on trace.
+SOBEL_X = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], np.float32)
+SOBEL_Y = np.array([[-1, -2, -1], [0, 0, 0], [1, 2, 1]], np.float32)
+RGB_WEIGHTS = np.array([0.2989, 0.5870, 0.1140], np.float32)
 
 
 def grayscale(frames: jnp.ndarray) -> jnp.ndarray:
