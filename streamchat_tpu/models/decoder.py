@@ -362,15 +362,32 @@ def prefill_chunked(
     b, s, _ = embeds.shape
     if s <= chunk:
         return prefill(params, cfg, embeds, cache, seq_length)
-    if s % chunk:
-        # Pad to a chunk multiple; padded tail is masked via seq_length.
-        pad = chunk - s % chunk
-        embeds = jnp.pad(embeds, ((0, 0), (0, pad), (0, 0)))
-        s += pad
-    for off in range(0, s, chunk):
-        blk = jax.lax.slice_in_dim(embeds, off, off + chunk, axis=1)
+    # Pad only to the 128 flash-block multiple and process the remainder as a
+    # PARTIAL final chunk. (Padding the prompt to a full `chunk` multiple —
+    # the round-2 behavior — wrote up to chunk-1 extra KV rows past the
+    # caller's 128-aligned Lmax; the clamped dynamic_update_slice then
+    # silently overwrote valid early-prompt KV for any >threshold prompt that
+    # wasn't a chunk multiple, e.g. the ~23k-token v0.3 caption contexts.)
+    lmax = cache.k.shape[3]
+    if lmax < s:
+        raise ValueError(
+            f"prefill_chunked: cache Lmax={lmax} < prompt length {s}; "
+            "size the cache to at least the (128-rounded) prompt length"
+        )
+    s128 = -(-s // 128) * 128
+    if s128 > s and lmax >= s128:
+        # Best-effort 128 alignment keeps every chunk (tail included) on the
+        # Pallas partial-flash path on TPU; production caches are 128-aligned
+        # so this always fires there. A smaller cache still computes
+        # correctly via the XLA fallback in _chunk_cache_attention.
+        embeds = jnp.pad(embeds, ((0, 0), (0, s128 - s), (0, 0)))
+        s = s128
+    offsets = list(range(0, s, chunk))
+    for off in offsets:
+        width = min(chunk, s - off)          # final chunk may be partial
+        blk = jax.lax.slice_in_dim(embeds, off, off + width, axis=1)
         positions = jnp.broadcast_to(
-            off + jnp.arange(chunk, dtype=jnp.int32)[None], (b, chunk)
+            off + jnp.arange(width, dtype=jnp.int32)[None], (b, width)
         )
         # Every chunk writes at its uniform offset; rows shorter than the
         # running offset write garbage that causal masking keeps invisible
@@ -381,7 +398,7 @@ def prefill_chunked(
         )
         _, cache = forward(
             params, cfg, blk, positions, cache,
-            jnp.full((b,), chunk, jnp.int32),
+            jnp.full((b,), width, jnp.int32),
             decode=False, chunked=off > 0,
         )
     # kv_length must reflect the true ragged lengths for decoding. Garbage
@@ -389,20 +406,22 @@ def prefill_chunked(
     # (causal: valid queries sit strictly before them) and are masked for
     # decode by the length reset here.
     cache = KVCache(k=cache.k, v=cache.v, length=seq_length.astype(jnp.int32))
-    # Next-token logits: re-run the chunk holding each row's last token
-    # against the completed cache (cheap — one chunk) and index its hidden.
+    # Next-token logits: re-run a chunk-sized window holding each row's last
+    # token against the completed cache (cheap — one chunk) and index its
+    # hidden. The window start is the row's chunk offset clamped so the
+    # window fits inside the padded prompt (the last chunk may be partial;
+    # a clamped window still contains the row's last token and recomputes
+    # identical K/V for the overlap it rewrites into the scratch cache).
     last_pos = (seq_length - 1).astype(jnp.int32)
-    last_chunk_off = (last_pos // chunk) * chunk
+    win = jnp.minimum((last_pos // chunk) * chunk, s - chunk)
     blk = jax.vmap(
         lambda e, o: jax.lax.dynamic_slice_in_dim(e, o, chunk, axis=0)
-    )(embeds, last_chunk_off)
-    positions = last_chunk_off[:, None] + jnp.arange(chunk, dtype=jnp.int32)[None]
-    scratch = KVCache(k=cache.k, v=cache.v, length=last_chunk_off)
+    )(embeds, win)
+    positions = win[:, None] + jnp.arange(chunk, dtype=jnp.int32)[None]
+    scratch = KVCache(k=cache.k, v=cache.v, length=win)
     hidden, _ = forward(
         params, cfg, blk, positions, scratch,
         jnp.full((b,), chunk, jnp.int32), decode=False, chunked=True,
     )
-    last = jnp.take_along_axis(
-        hidden, (last_pos - last_chunk_off)[:, None, None], axis=1
-    )
+    last = jnp.take_along_axis(hidden, (last_pos - win)[:, None, None], axis=1)
     return logits_from_hidden(params, cfg, last)[:, 0], cache

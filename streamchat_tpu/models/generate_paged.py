@@ -121,8 +121,18 @@ def generate_paged(
     if compress and kv_int8:
         raise ValueError("kv_int8 and in-loop H2O compression are exclusive")
 
-    # Prefill needs the prompt in a dense cache whose Lmax pages cleanly.
-    s_pad = -(-s // page_size) * page_size
+    # Prefill needs the prompt in a dense cache whose Lmax pages cleanly —
+    # and, when chunked prefill will fire (s > threshold), one that also
+    # covers the 128-padded prompt (prefill_chunked's hard requirement), so
+    # align to lcm(page_size, 128) in that regime.
+    import math
+
+    from streamchat_tpu.models.generate import CHUNKED_PREFILL_THRESHOLD
+
+    align = (
+        math.lcm(page_size, 128) if s > CHUNKED_PREFILL_THRESHOLD else page_size
+    )
+    s_pad = -(-s // align) * align
     if s_pad > s:
         prompt_embeds = jnp.pad(prompt_embeds, ((0, 0), (0, s_pad - s), (0, 0)))
     if max_pages_per_seq is None:

@@ -326,9 +326,29 @@ class LongVA:
         bucket). The reference captions chunks strictly sequentially
         (utiles.py:539-556) — batching amortizes per-call host/dispatch
         overhead and reads the decode weights once per step for the whole
-        batch instead of once per caption."""
+        batch instead of once per caption.
+
+        With kv_budget_tokens set on the paged backend, rows generate
+        SEQUENTIALLY through the budgeted per-row path instead: in-loop H2O
+        eviction is batch-1-only, and falling back to one dense
+        prompt+max_new cache per row (the round-2 behavior) silently blew
+        the configured HBM budget — on this backend one OOM poisons the
+        whole process."""
         if not prompts:
             return []
+        if self.decode_backend == "paged" and self.kv_budget_tokens is not None:
+            keys = (
+                list(jax.random.split(key, len(prompts)))
+                if key is not None else [None] * len(prompts)
+            )
+            return [
+                self.generate_with_image_embedding(
+                    p, embs, max_new_tokens=max_new_tokens,
+                    temperature=temperature, top_p=top_p, key=k,
+                    bucket=bucket,
+                )
+                for p, embs, k in zip(prompts, image_embeddings, keys)
+            ]
         spliced = [
             self.splice_prompt(p, embs, bucket=bucket)
             for p, embs in zip(prompts, image_embeddings)

@@ -181,3 +181,46 @@ class TestChunkedPrefill:
             params, CFG, embeds, cache2, jnp.array([16], jnp.int32)
         )
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-6)
+
+    def test_non_chunk_multiple_tight_cache(self, params, key):
+        """Regression (ADVICE r2 high): a prompt that is NOT a chunk multiple
+        with a cache Lmax BELOW the chunk-rounded length. Round 2 padded the
+        prompt to a chunk multiple and the final chunk's clamped
+        dynamic_update_slice overwrote valid early-prompt KV (chunk-rounded
+        80->96 > Lmax=80). The partial-tail-chunk rewrite must match one-shot
+        prefill exactly."""
+        b, s, chunk, lmax = 1, 80, 32, 80   # chunk-rounded s = 96 > lmax
+        lengths = jnp.asarray([77], jnp.int32)
+        ids = jax.random.randint(key, (b, s), 0, CFG.vocab_size)
+        embeds = _embeds(params, ids)
+        mask = (jnp.arange(s)[None] < lengths[:, None])[..., None]
+        embeds = jnp.where(mask, embeds, 0.0)
+
+        cache_a = KVCache.create(CFG, b, lmax, jnp.float32)
+        la, cache_a = decoder.prefill(params, CFG, embeds, cache_a, lengths)
+        cache_b = KVCache.create(CFG, b, lmax, jnp.float32)
+        lb, cache_b = decoder.prefill_chunked(
+            params, CFG, embeds, cache_b, lengths, chunk=chunk
+        )
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=2e-4, atol=2e-4)
+        n = int(lengths[0])
+        np.testing.assert_allclose(
+            np.asarray(cache_a.k)[:, 0, :, :n],
+            np.asarray(cache_b.k)[:, 0, :, :n], atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(cache_a.v)[:, 0, :, :n],
+            np.asarray(cache_b.v)[:, 0, :, :n], atol=2e-5,
+        )
+
+    def test_cache_too_small_raises(self, params, key):
+        """A cache smaller than the prompt is a hard error, not silent
+        clamped-scatter corruption."""
+        ids = jax.random.randint(key, (1, 64), 0, CFG.vocab_size)
+        embeds = _embeds(params, ids)
+        cache = KVCache.create(CFG, 1, 48, jnp.float32)
+        with pytest.raises(ValueError, match="Lmax"):
+            decoder.prefill_chunked(
+                params, CFG, embeds, cache, jnp.array([60], jnp.int32), chunk=16
+            )

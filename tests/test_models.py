@@ -108,6 +108,35 @@ class TestLongVA:
         )
         assert isinstance(out, str)
 
+    def test_batch_honors_kv_budget(self, model, monkeypatch):
+        """Regression (ADVICE r2 medium): batched generation with
+        kv_budget_tokens set must route through the budgeted per-row paged
+        path, never the dense prompt+max_new cache (which silently blew the
+        configured HBM budget). The dense path is trapped; outputs must
+        match the sequential budgeted calls."""
+        import dataclasses
+
+        from streamchat_tpu.models import longva as longva_mod
+
+        budgeted = dataclasses.replace(model, kv_budget_tokens=256)
+        prompts = ["describe <image> now", "count <image> items"]
+        feats = [[jnp.ones((4, TINY_DEC.hidden_size)) * 0.1]] * 2
+        want = [
+            budgeted.generate_with_image_embedding(
+                p, f, max_new_tokens=4, temperature=0.0
+            )
+            for p, f in zip(prompts, feats)
+        ]
+
+        def trap(*a, **kw):
+            raise AssertionError("dense generate used despite kv_budget_tokens")
+
+        monkeypatch.setattr(longva_mod.genlib, "generate", trap)
+        got = budgeted.generate_with_image_embedding_batch(
+            prompts, feats, max_new_tokens=4, temperature=0.0
+        )
+        assert got == want
+
 
 class TestEmbedder:
     def test_embed_batch(self):
