@@ -430,10 +430,16 @@ def parse_args(argv=None):
     p.add_argument("--multi_modal_memory", action="store_true")
     p.add_argument("--shard", action="store_true",
                    help="tensor-parallel the model over all visible devices")
-    p.add_argument("--int8", action="store_true",
+    # Int8 weight-only decode is the DEFAULT serving mode: it is what
+    # bench.py reports as production (10.5 vs 19.5 ms/tok at 7B) and what
+    # fits the full pipeline on one 16 GB chip. --bf16 opts out.
+    p.add_argument("--int8", dest="int8", action="store_true", default=True,
                    help="int8 weight-only decoder (ops/quant.py): ~2x decode "
                         "throughput and ~half the HBM; the full pipeline at "
-                        "7B geometry fits ONE 16 GB v5e chip this way")
+                        "7B geometry fits ONE 16 GB v5e chip this way "
+                        "(default; see --bf16)")
+    p.add_argument("--bf16", dest="int8", action="store_false",
+                   help="full bf16 decoder weights (opt out of int8 serving)")
     p.add_argument("--save_tree_dir", type=str, default=None,
                    help="persist each video's visual memory tree here")
     p.add_argument("--literal_kmeans", action="store_true",
