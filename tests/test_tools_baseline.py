@@ -68,6 +68,50 @@ class TestBaseline:
         idx = uniform_indices(100, 5, end_frame=50)
         assert idx[0] == 0 and idx[-1] == 49 and len(idx) == 5
 
+    def test_ego_mode_schema_and_split(self, tmp_path):
+        """Ego mode (reference inference_ego_streaming_longva.py): JSONL
+        records with the reference sample_set keys, whole-video sampling,
+        contiguous annotation split."""
+        cv2 = pytest.importorskip("cv2")
+        from streamchat_tpu.pipeline import baseline
+
+        video_dir = tmp_path / "videos" / "Ego"
+        video_dir.mkdir(parents=True)
+        for name in ("v0.mp4", "v1.mp4"):
+            w = cv2.VideoWriter(
+                str(video_dir / name), cv2.VideoWriter_fourcc(*"mp4v"),
+                30.0, (64, 64),
+            )
+            assert w.isOpened()
+            rng = np.random.default_rng(0)
+            for i in range(40):
+                w.write(rng.integers(0, 255, (64, 64, 3), np.uint8))
+            w.release()
+        annos = [
+            {"info": {"video_path": f"v{i}.mp4", "class_1": "Ego"},
+             "breakpoint": [
+                 {"question": "what?", "answer": "a", "class": "OCP", "time": 1},
+             ]}
+            for i in range(2)
+        ]
+        ann = tmp_path / "a.json"
+        ann.write_text(json.dumps(annos))
+        save = tmp_path / "ego_preds.json"
+        # Contiguous ceil-split: chunk 0 of 2 gets only the FIRST video.
+        baseline.main([
+            "--video_dir", str(tmp_path / "videos"),
+            "--annotations", str(ann),
+            "--save_file", str(save),
+            "--num_frame", "4",
+            "--max_new_tokens", "4",
+            "--num_chunks", "2", "--chunk_idx", "0",
+            "--ego",
+        ])
+        rows = [json.loads(l) for l in save.read_text().splitlines() if l]
+        assert len(rows) == 1                       # 1 video x 1 breakpoint
+        assert set(rows[0]) == {"id", "question", "answer", "class", "pred"}
+        assert rows[0]["id"] == 1 and isinstance(rows[0]["pred"], str)
+
     def test_baseline_answer_smoke(self):
         from streamchat_tpu.config import DecoderConfig, ViTConfig
         from streamchat_tpu.models.longva import LongVA
