@@ -97,6 +97,103 @@ class TestDecoderParity:
         )
 
 
+class TestGenerateParity:
+    """End-to-end greedy decode parity vs HF transformers (VERDICT r2 #4).
+
+    The same tiny random Qwen2 checkpoint drives both stacks through the
+    full multimodal path — `<image>` splice into input embeddings, prefill,
+    KV-cached greedy decode — mirroring the reference's
+    `generate_with_image_embedding`
+    (longva/model/language_model/llava_qwen.py:138-189 +
+    llava_arch.py:208-343, where spliced embeds feed HF `generate`).
+    Token ids must match HF exactly, for BOTH decode backends."""
+
+    @pytest.fixture(scope="class")
+    def setup(self, qwen2_ckpt):
+        import dataclasses
+
+        import jax
+
+        from streamchat_tpu.config import ViTConfig
+        from streamchat_tpu.models import weights
+        from streamchat_tpu.models.longva import LongVA
+        from streamchat_tpu.models.tokenizer import ByteTokenizer
+        from streamchat_tpu.utils.prng import KeySeq
+
+        path, hf_model = qwen2_ckpt
+        cfg, params = weights.load_decoder(path, dtype=jnp.float32)
+        tok = ByteTokenizer()
+        model = LongVA(
+            vit_params={}, proj_params={}, dec_params=params,
+            vit_cfg=ViTConfig.tiny(projection_dim=cfg.hidden_size),
+            dec_cfg=cfg, tokenizer=tok, keys=KeySeq(jax.random.key(0)),
+        )
+        prompt = "user: describe <image> now\nassistant:"
+        feats = np.random.default_rng(7).normal(
+            size=(3, cfg.hidden_size)
+        ).astype(np.float32) * 0.1
+
+        # HF twin of the splice: text-embed prefix/suffix, insert the image
+        # features verbatim (they are already in LM space), greedy-generate
+        # from inputs_embeds.
+        pre_s, suf_s = prompt.split("<image>")
+        pre = torch.tensor([tok.encode(pre_s)], dtype=torch.long)
+        suf = torch.tensor([tok.encode(suf_s)], dtype=torch.long)
+        emb = hf_model.get_input_embeddings()
+        with torch.no_grad():
+            inputs_embeds = torch.cat(
+                [emb(pre), torch.tensor(feats)[None], emb(suf)], dim=1
+            )
+            hf_out = hf_model.generate(
+                inputs_embeds=inputs_embeds,
+                attention_mask=torch.ones(inputs_embeds.shape[:2],
+                                          dtype=torch.long),
+                max_new_tokens=12, do_sample=False,
+            )
+        hf_tokens = hf_out[0].tolist()   # only the new tokens (inputs_embeds)
+        return model, prompt, feats, hf_tokens
+
+    def _our_tokens(self, model, prompt, feats, backend):
+        import dataclasses
+
+        m = dataclasses.replace(model, decode_backend=backend)
+        embeds, length = m.splice_prompt(prompt, [jnp.asarray(feats)])
+        if backend == "paged":
+            from streamchat_tpu.models.generate_paged import generate_paged as gen
+        else:
+            from streamchat_tpu.models.generate import generate as gen
+        import jax
+
+        toks, count = gen(
+            m.dec_params, m.dec_cfg, embeds,
+            jnp.array([length], jnp.int32), jax.random.key(0),
+            max_new_tokens=12, temperature=0.0,
+            eos_ids=tuple(m.tokenizer.eos_ids),
+        )
+        return [int(t) for t in np.asarray(toks[0])]
+
+    def test_contiguous_matches_hf(self, setup):
+        model, prompt, feats, hf_tokens = setup
+        ours = self._our_tokens(model, prompt, feats, "contiguous")
+        assert ours[:len(hf_tokens)] == hf_tokens
+
+    def test_paged_matches_hf(self, setup):
+        model, prompt, feats, hf_tokens = setup
+        ours = self._our_tokens(model, prompt, feats, "paged")
+        assert ours[:len(hf_tokens)] == hf_tokens
+
+    def test_full_api_string_matches_hf_bytes(self, setup):
+        """The public generate_with_image_embedding string equals the HF
+        token stream byte-decoded (ByteTokenizer is invertible here)."""
+        from streamchat_tpu.models.tokenizer import ByteTokenizer
+
+        model, prompt, feats, hf_tokens = setup
+        out = model.generate_with_image_embedding(
+            prompt, [jnp.asarray(feats)], max_new_tokens=12, temperature=0.0
+        )
+        assert out == ByteTokenizer().decode(hf_tokens).strip()
+
+
 class TestViTParity:
     def test_clip_tower_matches_hf(self, tmp_path):
         from transformers import CLIPVisionConfig, CLIPVisionModel
