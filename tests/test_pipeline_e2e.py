@@ -108,6 +108,13 @@ def test_process_video_end_to_end(tiny_pipeline, tmp_path):
     feats, texts = tree.search(tiny_pipeline.embed_query("what happened?"))
     assert feats and texts
 
+    # Phase attribution is persisted for artifacts (ingest / memory_update /
+    # answer, with captioning split out as a subset of memory_update).
+    totals = tiny_pipeline.last_phase_totals
+    assert {"ingest", "memory_update", "answer", "caption"} <= set(totals)
+    assert totals["caption"] <= totals["memory_update"] + 1e-6
+    assert tiny_pipeline.last_phase_counts["answer"] == 2
+
 
 def test_runner_cli_smoke(tiny_pipeline, tmp_path, monkeypatch):
     """Exercise run_inference + flag parsing with a synthetic annotation."""
