@@ -192,6 +192,78 @@ def pallas_paged_decode_int8_vs_xla():
     return _err(out, ref)
 
 
+def pallas_seq_decode_vs_xla():
+    """Compiled sequential-pool decode kernel (identity table, 8-page
+    all-head blocks) vs the XLA gather path at 7B single-row geometry."""
+    from streamchat_tpu.config import DecoderConfig
+    from streamchat_tpu.models.paged_kv import (
+        PagedKVCache, allocate_pages, paged_decode_attention,
+    )
+    from streamchat_tpu.ops.paged_attention import (
+        paged_decode_attention_pallas_seq,
+    )
+
+    cfg = DecoderConfig.qwen2_7b()
+    n, maxp, ps = 1157, 16, 128
+    cache = PagedKVCache.create(cfg, batch=1, num_pages=maxp,
+                                max_pages_per_seq=maxp, page_size=ps)
+    cache = allocate_pages(cache, jnp.asarray([n], jnp.int32))
+    kf = jax.random.normal(
+        jax.random.key(11), cache.k_pages[:1].shape, jnp.bfloat16)[0]
+    vf = jax.random.normal(
+        jax.random.key(12), cache.v_pages[:1].shape, jnp.bfloat16)[0]
+    cache = cache._replace(
+        k_pages=cache.k_pages.at[0].set(kf),
+        v_pages=cache.v_pages.at[0].set(vf),
+        length=jnp.asarray([n], jnp.int32),
+    )
+    q = jax.random.normal(jax.random.key(13),
+                          (1, cfg.num_heads, 1, cfg.head_dim), jnp.bfloat16)
+    length = jnp.asarray([n], jnp.int32)
+    ref = paged_decode_attention(
+        q, cache.k_pages[0], cache.v_pages[0], cache.page_table, length
+    )
+    out = paged_decode_attention_pallas_seq(
+        q, cache.k_pages[0], cache.v_pages[0], length
+    )
+    return _err(out, ref)
+
+
+def pallas_seq_decode_int8_vs_xla():
+    """Compiled int8 sequential-pool kernel vs the XLA int8 path."""
+    from streamchat_tpu.config import DecoderConfig
+    from streamchat_tpu.models.paged_kv import (
+        PagedKVCache, _quantize_kv, allocate_pages,
+        paged_decode_attention_int8,
+    )
+    from streamchat_tpu.ops.paged_attention import (
+        paged_decode_attention_pallas_seq_int8,
+    )
+
+    cfg = DecoderConfig.qwen2_7b()
+    n, maxp, ps = 1157, 16, 128
+    hkv, dh = cfg.num_kv_heads, cfg.head_dim
+    kf = jax.random.normal(jax.random.key(14), (maxp, hkv, ps, dh),
+                           jnp.bfloat16)
+    vf = jax.random.normal(jax.random.key(15), (maxp, hkv, ps, dh),
+                           jnp.bfloat16)
+    k_i8, k_s = _quantize_kv(kf)
+    v_i8, v_s = _quantize_kv(vf)
+    base = PagedKVCache.create(cfg, batch=1, num_pages=maxp,
+                               max_pages_per_seq=maxp, page_size=ps)
+    base = allocate_pages(base, jnp.asarray([n], jnp.int32))
+    q = jax.random.normal(jax.random.key(16),
+                          (1, cfg.num_heads, 1, dh), jnp.bfloat16)
+    length = jnp.asarray([n], jnp.int32)
+    ref = paged_decode_attention_int8(
+        q, k_i8, v_i8, k_s, v_s, base.page_table, length
+    )
+    out = paged_decode_attention_pallas_seq_int8(
+        q, k_i8, v_i8, k_s, v_s, length
+    )
+    return _err(out, ref)
+
+
 def paged_generation_exact():
     """generate_paged greedy == contiguous generate greedy, on chip."""
     from streamchat_tpu.config import DecoderConfig
@@ -223,6 +295,9 @@ def main():
     ok &= check("pallas_paged_decode(7B geom)", pallas_paged_decode_vs_xla, 2e-2)
     ok &= check("pallas_paged_decode_int8(7B geom)",
                 pallas_paged_decode_int8_vs_xla, 2e-2)
+    ok &= check("pallas_seq_decode(7B geom)", pallas_seq_decode_vs_xla, 2e-2)
+    ok &= check("pallas_seq_decode_int8(7B geom)",
+                pallas_seq_decode_int8_vs_xla, 3e-2)
     ok &= check("paged_generation_token_exact", paged_generation_exact, 0.0)
     return 0 if ok else 1
 

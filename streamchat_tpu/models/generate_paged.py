@@ -269,8 +269,12 @@ def _generate_paged_jit(
             )
             hh = hh + mass[:, 0]
         else:
+            # Single-row pools are identity-mapped by construction
+            # (from_contiguous + sequential allocs), unlocking the
+            # sequential-pool kernel (8-page all-head blocks).
             logits, cache = step_fn(
-                params, cfg, tok, cache, positions=st.pos
+                params, cfg, tok, cache, positions=st.pos,
+                sequential_pages=(b == 1),
             )
         return PagedGenState(cache, hh, st.pos + 1, logits, out, st.step + 1,
                              done, key, st.over | ov)

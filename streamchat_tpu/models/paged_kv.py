@@ -215,6 +215,7 @@ def decode_step_paged(
     cache: "PagedKVCache",
     positions: Optional[jnp.ndarray] = None,
     collect_mass: bool = False,
+    sequential_pages: bool = False,
 ):
     """One decode step against a paged cache -> (logits [B, V], cache[, mass]).
 
@@ -262,6 +263,19 @@ def decode_step_paged(
             if collect_mass:
                 o, mass = o
                 masses.append(mass)
+        elif sequential_pages and b == 1:
+            # TPU, single row: the allocator maps pages in pool order
+            # (identity table — from_contiguous / sequential allocs /
+            # compress_paged), so the table is dropped and pages stream in
+            # 8-page all-head blocks. The per-(page, head) grid cost ~2/3
+            # of decode-attention time at 11.6k ctx (probe_kvint8.py).
+            from streamchat_tpu.ops.paged_attention import (
+                paged_decode_attention_pallas_seq,
+            )
+
+            o = paged_decode_attention_pallas_seq(
+                q, cache.k_pages[i], cache.v_pages[i], cache.length + 1,
+            )
         else:
             # TPU: page-table-indexed Pallas kernel — no gather copy, cache
             # bytes read exactly once per step (ops/paged_attention).
@@ -601,6 +615,7 @@ def paged_decode_attention_int8(
 def decode_step_paged_int8(
     params, cfg, token_ids: jnp.ndarray, cache: "PagedKVCacheInt8",
     positions: Optional[jnp.ndarray] = None,
+    sequential_pages: bool = False,
 ):
     """Int8-cache twin of decode_step_paged -> (logits [B, V], cache)."""
     from streamchat_tpu.models import decoder
@@ -620,7 +635,18 @@ def decode_step_paged_int8(
         q = decoder.rope(q, positions, cfg.rope_theta)
         k = decoder.rope(k, positions, cfg.rope_theta)
         cache = append_token_kv_int8(cache, jnp.asarray(i), k[:, :, 0], v[:, :, 0])
-        if jax.default_backend() == "tpu":
+        if jax.default_backend() == "tpu" and sequential_pages and b == 1:
+            # Identity-table single-row pool: 8-page all-head blocks, static
+            # per-head scale slices (no one-hot) — see decode_step_paged.
+            from streamchat_tpu.ops.paged_attention import (
+                paged_decode_attention_pallas_seq_int8,
+            )
+
+            o = paged_decode_attention_pallas_seq_int8(
+                q, cache.k_pages[i], cache.v_pages[i],
+                cache.k_scale[i], cache.v_scale[i], cache.length + 1,
+            )
+        elif jax.default_backend() == "tpu":
             from streamchat_tpu.ops.paged_attention import (
                 paged_decode_attention_pallas_int8,
             )

@@ -21,6 +21,8 @@ from streamchat_tpu.ops.optical_flow import (
 from streamchat_tpu.ops.paged_attention import (
     paged_decode_attention_pallas,
     paged_decode_attention_pallas_int8,
+    paged_decode_attention_pallas_seq,
+    paged_decode_attention_pallas_seq_int8,
 )
 from streamchat_tpu.ops.pooling import compress_spatial_features, pool_patch_grid
 from streamchat_tpu.ops.quant import (
@@ -61,6 +63,8 @@ __all__ = [
     "keep_frames_optical_flow",
     "paged_decode_attention_pallas",
     "paged_decode_attention_pallas_int8",
+    "paged_decode_attention_pallas_seq",
+    "paged_decode_attention_pallas_seq_int8",
     "matmul_any",
     "qmatmul",
     "quantize_decoder_params",

@@ -165,6 +165,280 @@ def paged_decode_attention_pallas(
     return out[:, :, :g].reshape(b, hq, 1, d)
 
 
+def _seq_decode_kernel(
+    length_ref,           # [1] int32 scalar prefetch
+    q_ref,                # [hkv, gpad, d]
+    k_ref,                # [pb, hkv, ps, d] (pool pages [j*pb, (j+1)*pb))
+    v_ref,
+    o_ref,                # [hkv, gpad, d]
+    m_scratch,            # [hkv, gpad, 128] f32
+    l_scratch,
+    acc_scratch,          # [hkv, gpad, d] f32
+    *,
+    sm_scale: float,
+    page_size: int,
+    pages_per_block: int,
+    num_blocks: int,
+    num_kv_heads: int,
+):
+    """Sequential-pool decode: pages are in pool order (identity table).
+
+    One grid step covers pages_per_block pages for ALL kv heads (static
+    python loop) — vs the per-(page, head) grid of _paged_decode_kernel.
+    At 7B/11.6k ctx this is 12 steps instead of 368; the per-step grid
+    overhead was ~2/3 of measured decode attention time
+    (scripts/probe_kvint8.py, round 3)."""
+    j = pl.program_id(0)
+    span = pages_per_block * page_size
+
+    @pl.when(j == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    length = length_ref[0]
+
+    @pl.when(j * span < length)
+    def _run():
+        for h in range(num_kv_heads):
+            q = q_ref[h]                                       # [gpad, d]
+            k = k_ref[:, h].reshape(span, -1)                  # [span, d]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * sm_scale                                       # [gpad, span]
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * span
+            s = jnp.where(col < length, s, DEFAULT_MASK_VALUE)
+
+            m_prev = m_scratch[h]
+            l_prev = l_scratch[h]
+            m_curr = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next[:, :1])
+            l_scratch[h] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_scratch[h] = m_next
+            v = v_ref[:, h].reshape(span, -1)
+            acc_scratch[h] = acc_scratch[h] * alpha[:, :1] + jax.lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
+
+    @pl.when(j == num_blocks - 1)
+    def _store():
+        for h in range(num_kv_heads):
+            l = l_scratch[h][:, :1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_ref[h] = (acc_scratch[h] * l_inv).astype(o_ref.dtype)
+
+
+def _seq_decode_int8_kernel(
+    length_ref,           # [1] int32 scalar prefetch
+    q_ref,                # [hkv, gpad, d]
+    k_ref,                # [pb, hkv, ps, d] int8
+    v_ref,
+    ks_ref,               # [hkv, span] f32 (head-major, page-dim flattened)
+    vs_ref,
+    o_ref,
+    m_scratch,
+    l_scratch,
+    acc_scratch,
+    *,
+    sm_scale: float,
+    page_size: int,
+    pages_per_block: int,
+    num_blocks: int,
+    num_kv_heads: int,
+):
+    """Int8 twin of _seq_decode_kernel.
+
+    h is a STATIC loop index, so the per-head scale row is a plain slice —
+    no one-hot reduction (the one-hot select cost ~14 us per (page, head)
+    step in the per-page kernel). The per-token scales commute out of the
+    contractions — s = (q . k_i8) * ks, acc += (p * vs) @ v_i8 — so the int8
+    pages are only ever CAST to bf16 (never element-wise dequantized through
+    an f32 [span, d] intermediate, which cost ~6 ms/step at 7B/11.6k ctx).
+    Scales arrive flattened [hkv, num_pages*ps] so the row slice is already
+    lane-shaped [1, span]."""
+    j = pl.program_id(0)
+    span = pages_per_block * page_size
+
+    @pl.when(j == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    length = length_ref[0]
+
+    @pl.when(j * span < length)
+    def _run():
+        for h in range(num_kv_heads):
+            q = q_ref[h]
+            k = k_ref[:, h].astype(q.dtype).reshape(span, -1)   # cast only
+            v = v_ref[:, h].astype(q.dtype).reshape(span, -1)
+            ks = ks_ref[h : h + 1]                              # [1, span]
+            vs = vs_ref[h : h + 1]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * ks * sm_scale
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * span
+            s = jnp.where(col < length, s, DEFAULT_MASK_VALUE)
+
+            m_prev = m_scratch[h]
+            l_prev = l_scratch[h]
+            m_curr = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next[:, :1])
+            l_scratch[h] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_scratch[h] = m_next
+            acc_scratch[h] = acc_scratch[h] * alpha[:, :1] + jax.lax.dot(
+                (p * vs).astype(v.dtype), v,
+                preferred_element_type=jnp.float32,
+            )
+
+    @pl.when(j == num_blocks - 1)
+    def _store():
+        for h in range(num_kv_heads):
+            l = l_scratch[h][:, :1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_ref[h] = (acc_scratch[h] * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sm_scale", "pages_per_block", "interpret")
+)
+def paged_decode_attention_pallas_seq(
+    q: jnp.ndarray,            # [1, Hq, 1, Dh]
+    k_pages: jnp.ndarray,      # [num_pages, Hkv, page_size, Dh] (one layer)
+    v_pages: jnp.ndarray,
+    length: jnp.ndarray,       # [1]
+    sm_scale: float | None = None,
+    pages_per_block: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Decode attention for a SEQUENTIAL pool (batch 1, identity page table).
+
+    generate_paged's single-row caches are identity-mapped by construction
+    (from_contiguous + the sequential allocator + compress_paged all map row
+    pages to pool order), so the table is dropped and pages stream in
+    pages_per_block-page blocks with all kv heads per grid step.
+    """
+    b, hq, _, d = q.shape
+    assert b == 1, "sequential-pool kernel is batch-1 only"
+    num_pages, hkv, ps, _ = k_pages.shape
+    if sm_scale is None:
+        sm_scale = d ** -0.5
+    g = hq // hkv
+    gpad = max(8, -(-g // 8) * 8)
+    qg = q.reshape(hkv, g, d)
+    if gpad > g:
+        qg = jnp.pad(qg, ((0, 0), (0, gpad - g), (0, 0)))
+    nb = -(-num_pages // pages_per_block)
+    kernel = functools.partial(
+        _seq_decode_kernel,
+        sm_scale=sm_scale, page_size=ps,
+        pages_per_block=pages_per_block, num_blocks=nb, num_kv_heads=hkv,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((hkv, gpad, d), lambda j, length: (0, 0, 0)),
+            pl.BlockSpec((pages_per_block, hkv, ps, d),
+                         lambda j, length: (j, 0, 0, 0)),
+            pl.BlockSpec((pages_per_block, hkv, ps, d),
+                         lambda j, length: (j, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((hkv, gpad, d), lambda j, length: (0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((hkv, gpad, 128), jnp.float32),
+            pltpu.VMEM((hkv, gpad, 128), jnp.float32),
+            pltpu.VMEM((hkv, gpad, d), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((hkv, gpad, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(length.astype(jnp.int32), qg, k_pages, v_pages)
+    return out[:, :g].reshape(1, hq, 1, d)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sm_scale", "pages_per_block", "interpret")
+)
+def paged_decode_attention_pallas_seq_int8(
+    q: jnp.ndarray,            # [1, Hq, 1, Dh]
+    k_pages: jnp.ndarray,      # [num_pages, Hkv, page_size, Dh] int8
+    v_pages: jnp.ndarray,
+    k_scale: jnp.ndarray,      # [num_pages, Hkv, page_size] f32
+    v_scale: jnp.ndarray,
+    length: jnp.ndarray,
+    sm_scale: float | None = None,
+    pages_per_block: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Int8-cache twin of paged_decode_attention_pallas_seq."""
+    b, hq, _, d = q.shape
+    assert b == 1, "sequential-pool kernel is batch-1 only"
+    num_pages, hkv, ps, _ = k_pages.shape
+    if sm_scale is None:
+        sm_scale = d ** -0.5
+    g = hq // hkv
+    gpad = max(8, -(-g // 8) * 8)
+    qg = q.reshape(hkv, g, d)
+    if gpad > g:
+        qg = jnp.pad(qg, ((0, 0), (0, gpad - g), (0, 0)))
+    # Head-major flattened scales: [num_pages, hkv, ps] ->
+    # [hkv, num_pages*ps] so a per-head row slice is already the lane-shaped
+    # [1, span] the kernel multiplies s/p by (~190 KB transpose per step).
+    k_scale_hm = k_scale.transpose(1, 0, 2).reshape(hkv, num_pages * ps)
+    v_scale_hm = v_scale.transpose(1, 0, 2).reshape(hkv, num_pages * ps)
+    nb = -(-num_pages // pages_per_block)
+    span = pages_per_block * ps
+    kernel = functools.partial(
+        _seq_decode_int8_kernel,
+        sm_scale=sm_scale, page_size=ps,
+        pages_per_block=pages_per_block, num_blocks=nb, num_kv_heads=hkv,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((hkv, gpad, d), lambda j, length: (0, 0, 0)),
+            pl.BlockSpec((pages_per_block, hkv, ps, d),
+                         lambda j, length: (j, 0, 0, 0)),
+            pl.BlockSpec((pages_per_block, hkv, ps, d),
+                         lambda j, length: (j, 0, 0, 0)),
+            pl.BlockSpec((hkv, span), lambda j, length: (0, j)),
+            pl.BlockSpec((hkv, span), lambda j, length: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((hkv, gpad, d), lambda j, length: (0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((hkv, gpad, 128), jnp.float32),
+            pltpu.VMEM((hkv, gpad, 128), jnp.float32),
+            pltpu.VMEM((hkv, gpad, d), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((hkv, gpad, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(length.astype(jnp.int32), qg, k_pages, v_pages, k_scale_hm, v_scale_hm)
+    return out[:, :g].reshape(1, hq, 1, d)
+
+
 def _paged_decode_int8_kernel(
     table_ref,            # [B, maxp] int32 scalar prefetch
     length_ref,           # [B] int32 scalar prefetch

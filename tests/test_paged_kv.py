@@ -432,6 +432,96 @@ class TestPallasPagedAttention:
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
+    def test_seq_kernel_matches_xla(self, cfg, key):
+        """Sequential-pool (identity-table) kernel == XLA gather path for a
+        single-row cache whose pages are in pool order — including a pool
+        that is not a pages_per_block multiple and a non-page-aligned
+        length."""
+        from streamchat_tpu.ops.paged_attention import (
+            paged_decode_attention_pallas_seq,
+        )
+
+        cache = self._build(cfg, key, [37])      # b=1: identity table
+        assert list(np.asarray(cache.page_table)[0][:3]) == [0, 1, 2]
+        q = jax.random.normal(key, (1, cfg.num_heads, 1, cfg.head_dim))
+        length = jnp.asarray([37], jnp.int32)
+        ref = paged_decode_attention(
+            q, cache.k_pages[0], cache.v_pages[0], cache.page_table, length
+        )
+        out = paged_decode_attention_pallas_seq(
+            q, cache.k_pages[0], cache.v_pages[0], length,
+            pages_per_block=2, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_seq_int8_kernel_matches_xla(self, cfg, key):
+        from streamchat_tpu.models.paged_kv import (
+            PagedKVCacheInt8,
+            allocate_pages_int8,
+            append_token_kv_int8,
+            paged_decode_attention_int8,
+        )
+        from streamchat_tpu.ops.paged_attention import (
+            paged_decode_attention_pallas_seq_int8,
+        )
+
+        b, maxp, ps = 1, 4, 16
+        hkv, dh = cfg.num_kv_heads, cfg.head_dim
+        shape = (cfg.num_layers, b * maxp, hkv, ps, dh)
+        cache = PagedKVCacheInt8(
+            k_pages=jnp.zeros(shape, jnp.int8),
+            v_pages=jnp.zeros(shape, jnp.int8),
+            k_scale=jnp.ones(shape[:4], jnp.float32),
+            v_scale=jnp.ones(shape[:4], jnp.float32),
+            page_table=jnp.full((b, maxp), -1, jnp.int32),
+            length=jnp.zeros((b,), jnp.int32),
+            next_free=jnp.zeros((), jnp.int32),
+        )
+        n = 41
+        for t in range(n):
+            k_tok = jax.random.normal(jax.random.key(500 + t), (b, hkv, dh))
+            v_tok = jax.random.normal(jax.random.key(600 + t), (b, hkv, dh))
+            cache = allocate_pages_int8(cache, jnp.ones((b,), jnp.int32))
+            cache = append_token_kv_int8(cache, jnp.asarray(0), k_tok, v_tok)
+            cache = cache._replace(length=cache.length + 1)
+        q = jax.random.normal(key, (1, cfg.num_heads, 1, dh))
+        length = jnp.asarray([n], jnp.int32)
+        ref = paged_decode_attention_int8(
+            q, cache.k_pages[0], cache.v_pages[0],
+            cache.k_scale[0], cache.v_scale[0], cache.page_table, length,
+        )
+        out = paged_decode_attention_pallas_seq_int8(
+            q, cache.k_pages[0], cache.v_pages[0],
+            cache.k_scale[0], cache.v_scale[0], length,
+            pages_per_block=2, interpret=True,
+        )
+        # The seq kernel dequantizes to the q dtype before the dot (f32 in
+        # this test -> exact); keep a loose bound for bf16 production runs.
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+    def test_generate_paged_seq_kernel_token_exact(self, cfg, key):
+        """End-to-end: single-row paged decode (which now dispatches the
+        sequential-pool kernel on TPU; XLA path on CPU) stays token-exact vs
+        the contiguous backend. Guards the identity-table invariant the
+        dispatch relies on."""
+        from streamchat_tpu.models import decoder as dec
+        from streamchat_tpu.models.generate import generate
+        from streamchat_tpu.models.generate_paged import generate_paged
+
+        params = dec.init(jax.random.key(0), cfg, dtype=jnp.float32)
+        ids = jax.random.randint(key, (1, 24), 0, cfg.vocab_size)
+        embeds = dec.embed_tokens(params, ids)
+        lengths = jnp.array([21], jnp.int32)
+        tp, cp = generate_paged(
+            params, cfg, embeds, lengths, jax.random.key(2),
+            max_new_tokens=12, temperature=0.0, page_size=8,
+        )
+        tc, cc = generate(
+            params, cfg, embeds, lengths, jax.random.key(2),
+            max_new_tokens=12, temperature=0.0,
+        )
+        np.testing.assert_array_equal(np.asarray(tp), np.asarray(tc))
+
 
 class TestAllocatorOverflowDetection:
     """Regression (VERDICT r2 weak #4): allocator overflow under jit must be
