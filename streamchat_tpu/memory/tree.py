@@ -283,6 +283,120 @@ class VisualMemoryTree:
         return path
 
     # ------------------------------------------------------------------
+    # One-shot builders (the reference's pre-incremental tree variants)
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def build_bottom_up(
+        cls,
+        chunk_centroids: Sequence[jnp.ndarray],
+        num_clusters: int,
+        interval: int,
+        merge_fn: MergeFn,
+        captions: Optional[Sequence[str]] = None,
+        summarize_fn: Optional[SummarizeFn] = None,
+        embed_fn: Optional[EmbedFn] = None,
+    ) -> "VisualMemoryTree":
+        """One-shot bottom-up build: merge every `interval` nodes per level
+        until a single root remains.
+
+        Port of `buildingd_memory_tree_buttom_up` (utiles.py:380-403) and,
+        with captions+summarize_fn, its `_with_summarize_token` variant
+        (utiles.py:405-486). These one-shot builders were superseded by the
+        incremental `add_chunks` path in the reference itself; they exist
+        for parity with offline (whole-video-at-once) tree construction.
+
+        Reference quirk NOT reproduced: at levels above 0 the reference
+        summarizes `output_list[i:i+interval]` — a stale slice of the BASE
+        captions rather than the current level's texts (utiles.py:455) — an
+        evident indexing bug; we summarize the nodes actually being merged.
+        Feature-only trees (captions=None) support `search_features`;
+        caption trees additionally support embedding search when embed_fn
+        is given.
+        """
+        with_text = captions is not None
+        if with_text and summarize_fn is None:
+            raise ValueError("captions given without summarize_fn")
+        texts = list(captions) if with_text else [""] * len(chunk_centroids)
+        embs = (
+            np.asarray(embed_fn(texts)) if (with_text and embed_fn) else
+            [None] * len(texts)
+        )
+        nodes = [
+            MemoryTreeNode(centroids=c, text=t, depth=0, emb=e)
+            for c, t, e in zip(chunk_centroids, texts, embs)
+        ]
+        while len(nodes) > 1:
+            new_nodes: List[MemoryTreeNode] = []
+            for i in range(0, len(nodes), interval):
+                chunk = nodes[i : i + interval]
+                combined = jnp.concatenate([n.centroids for n in chunk], axis=0)
+                if combined.shape[0] > num_clusters:
+                    merged = merge_fn(combined, num_clusters)
+                else:
+                    merged = combined
+                if with_text:
+                    summary = summarize_fn([n.text for n in chunk])
+                    emb = (np.asarray(embed_fn([summary]))[0]
+                           if embed_fn else None)
+                else:
+                    summary, emb = "", None
+                new_nodes.append(MemoryTreeNode(
+                    centroids=merged, text=summary,
+                    depth=chunk[0].depth + 1, children=list(chunk), emb=emb,
+                ))
+            nodes = new_nodes
+        tree = cls(
+            num_clusters, interval,
+            embed_fn or (lambda texts: np.zeros((len(texts), 1), np.float32)),
+            summarize_fn or (lambda caps: ""),
+            merge_fn,
+        )
+        tree.roots = nodes
+        return tree
+
+    @classmethod
+    def build_top_down(
+        cls,
+        features: jnp.ndarray,
+        chunk_size: int,
+        num_clusters: int,
+        merge_fn: MergeFn,
+        compress_rate: int = 1,
+    ) -> "VisualMemoryTree":
+        """One-shot top-down build: chunk the frame features and cluster each
+        chunk into one depth-0 node.
+
+        Port of `building_memory_tree` (utiles.py:346-378). The reference
+        recurses into a node when its centroid count exceeds num_clusters —
+        which k-means guarantees never happens — so the recursion is dead
+        and the result is a flat chunked-k-means node list; reproduced as
+        such (feature-only: use `search_features`).
+        """
+        from streamchat_tpu.ops.pooling import compress_spatial_features
+
+        if compress_rate > 1:
+            features = compress_spatial_features(features, compress_rate)
+        roots = []
+        n = features.shape[0]
+        for i in range(0, n, chunk_size):
+            chunk = features[i : i + chunk_size]
+            flat = chunk
+            if flat.shape[0] > num_clusters:
+                reduced = merge_fn(flat, num_clusters)
+            else:
+                reduced = flat
+            roots.append(MemoryTreeNode(centroids=reduced, text="", depth=0))
+        tree = cls(
+            num_clusters, interval=len(roots) or 1,
+            embed_fn=lambda texts: np.zeros((len(texts), 1), np.float32),
+            summarize_fn=lambda caps: "",
+            merge_fn=merge_fn,
+        )
+        tree.roots = roots
+        return tree
+
+    # ------------------------------------------------------------------
     # Introspection / persistence
     # ------------------------------------------------------------------
 

@@ -98,3 +98,65 @@ def knn(
     d = pairwise_distances(queries, points, metric)
     neg_d, idx = jax.lax.top_k(-d, k)
     return -neg_d, idx
+
+
+@functools.partial(jax.jit, static_argnames=("gamma",))
+def soft_dtw(x: jnp.ndarray, y: jnp.ndarray, gamma: float = 1.0) -> jnp.ndarray:
+    """Soft-DTW distance between sequences x [n, d] and y [m, d] -> scalar.
+
+    TPU port of the reference's numba-CUDA soft-DTW
+    (`kmeans_pytorch/soft_dtw_cuda.py:36-81`, unused by the pipeline but part
+    of its vendored clustering toolbox): R[i,j] = D[i,j] +
+    softmin_gamma(R[i-1,j], R[i,j-1], R[i-1,j-1]) with
+    softmin_gamma(a,b,c) = -gamma*logsumexp(-[a,b,c]/gamma).
+
+    The 2-D DP runs as a `lax.scan` over anti-diagonals (the same wavefront
+    the CUDA kernel parallelizes over threads), carrying the two previous
+    diagonals as length-n vectors — no data-dependent Python control flow.
+    """
+    n, m = x.shape[0], y.shape[0]
+    x32 = x.astype(jnp.float32)
+    y32 = y.astype(jnp.float32)
+    dmat = (
+        jnp.sum(x32 * x32, axis=1)[:, None]
+        - 2.0 * x32 @ y32.T
+        + jnp.sum(y32 * y32, axis=1)[None, :]
+    )                                                   # [n, m] sq-euclidean
+    inf = jnp.float32(jnp.inf)
+    rows = jnp.arange(n)
+
+    def softmin(a, b, c):
+        z = -jnp.stack([a, b, c]) / gamma
+        zmax = jnp.max(z, axis=0)
+        safe = jnp.where(jnp.isinf(zmax), 0.0, zmax)
+        s = jnp.sum(jnp.exp(z - safe[None]), axis=0)
+        out = -gamma * (jnp.log(s) + safe)
+        # All-inf inputs (out-of-range neighborhood) stay +inf.
+        return jnp.where(jnp.isinf(zmax), inf, out)
+
+    def diag_step(carry, k):
+        r_prev2, r_prev = carry                          # diagonals k-2, k-1
+        j = k - rows                                     # column per row i
+        valid = (j >= 0) & (j < m)
+        d_k = jnp.where(
+            valid, dmat[rows, jnp.clip(j, 0, m - 1)], inf
+        )
+        up = jnp.where(rows > 0, jnp.roll(r_prev, 1), inf)      # R[i-1, j]
+        left = r_prev                                           # R[i, j-1]
+        diag = jnp.where(rows > 0, jnp.roll(r_prev2, 1), inf)   # R[i-1, j-1]
+        base = jnp.where((rows == 0) & (j == 0), 0.0,
+                         softmin(up, left, diag))
+        r_k = jnp.where(valid, d_k + base, inf)
+        return (r_prev, r_k), r_k
+
+    init = (jnp.full((n,), inf), jnp.full((n,), inf))
+    (_, last), _ = jax.lax.scan(diag_step, init, jnp.arange(n + m - 1))
+    return last[n - 1]
+
+
+def pairwise_soft_dtw(
+    xs: jnp.ndarray, ys: jnp.ndarray, gamma: float = 1.0
+) -> jnp.ndarray:
+    """All-pairs soft-DTW: xs [A, n, d] x ys [B, m, d] -> [A, B]."""
+    per_x = jax.vmap(lambda x, y: soft_dtw(x, y, gamma), in_axes=(None, 0))
+    return jax.vmap(lambda x: per_x(x, ys))(xs)

@@ -186,3 +186,127 @@ class TestParametricResamplers:
 
         with _pytest.raises(KeyError):
             build_parametric("pooler", key, 8)
+
+
+class TestSoftDTW:
+    """ops/clustering.soft_dtw: TPU port of the reference's numba-CUDA
+    soft-DTW (kmeans_pytorch/soft_dtw_cuda.py)."""
+
+    @staticmethod
+    def _ref(x, y, gamma):
+        import numpy as np
+
+        n, m = len(x), len(y)
+        D = ((x[:, None, :] - y[None, :, :]) ** 2).sum(-1)
+        R = np.full((n + 1, m + 1), np.inf)
+        R[0, 0] = 0.0
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                cands = np.array([R[i - 1, j], R[i, j - 1], R[i - 1, j - 1]])
+                zmax = np.max(-cands / gamma)
+                softmin = -gamma * (np.log(np.sum(np.exp(-cands / gamma - zmax)))
+                                    + zmax)
+                R[i, j] = D[i - 1, j - 1] + softmin
+        return R[n, m]
+
+    def test_matches_reference_dp(self, key):
+        import numpy as np
+
+        from streamchat_tpu.ops.clustering import soft_dtw
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(7, 3)).astype(np.float32)
+        y = rng.normal(size=(5, 3)).astype(np.float32)
+        for gamma in (0.1, 1.0):
+            got = float(soft_dtw(jnp.asarray(x), jnp.asarray(y), gamma=gamma))
+            want = self._ref(x, y, gamma)
+            np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    def test_identical_sequences_near_zero(self):
+        import numpy as np
+
+        from streamchat_tpu.ops.clustering import soft_dtw
+
+        x = np.random.default_rng(1).normal(size=(6, 4)).astype(np.float32)
+        # gamma->0 approaches classic DTW; identical sequences align on the
+        # diagonal with zero cost (soft-min makes it slightly negative).
+        got = float(soft_dtw(jnp.asarray(x), jnp.asarray(x), gamma=0.01))
+        assert got <= 1e-3
+
+    def test_pairwise_shape(self, key):
+        import numpy as np
+
+        from streamchat_tpu.ops.clustering import pairwise_soft_dtw, soft_dtw
+
+        rng = np.random.default_rng(2)
+        xs = jnp.asarray(rng.normal(size=(3, 5, 2)).astype(np.float32))
+        ys = jnp.asarray(rng.normal(size=(4, 6, 2)).astype(np.float32))
+        d = pairwise_soft_dtw(xs, ys)
+        assert d.shape == (3, 4)
+        np.testing.assert_allclose(
+            float(d[1, 2]), float(soft_dtw(xs[1], ys[2])), rtol=1e-5
+        )
+
+
+class TestOneShotTreeBuilders:
+    """memory/tree one-shot builders (reference utiles.py:346-486)."""
+
+    def _merge(self, combined, k):
+        from streamchat_tpu.ops.kmeans import weighted_kmeans_feature
+
+        c, _ = weighted_kmeans_feature(combined, k, jax.random.key(0))
+        return c
+
+    def test_bottom_up_single_root(self):
+        from streamchat_tpu.memory.tree import VisualMemoryTree
+
+        chunks = [jnp.ones((4, 2, 8)) * i for i in range(9)]
+        tree = VisualMemoryTree.build_bottom_up(
+            chunks, num_clusters=3, interval=3, merge_fn=self._merge
+        )
+        assert len(tree.roots) == 1
+        root = tree.roots[0]
+        assert root.depth == 2 and len(root.children) == 3
+        assert all(len(c.children) == 3 for c in root.children)
+        # Feature-space search works on the feature-only tree.
+        path = tree.search_features(jnp.ones((2, 8)))
+        assert path
+
+    def test_bottom_up_with_summaries(self):
+        from streamchat_tpu.memory.tree import VisualMemoryTree
+
+        chunks = [jnp.ones((4, 2, 8)) * i for i in range(4)]
+        caps = [f"cap{i}" for i in range(4)]
+        calls = []
+
+        def summarize(texts):
+            calls.append(list(texts))
+            return "+".join(texts)
+
+        def embed(texts):
+            import numpy as np
+
+            return np.ones((len(texts), 6), np.float32)
+
+        tree = VisualMemoryTree.build_bottom_up(
+            chunks, num_clusters=3, interval=2, merge_fn=self._merge,
+            captions=caps, summarize_fn=summarize, embed_fn=embed,
+        )
+        assert len(tree.roots) == 1
+        # Level 1 summarizes the CURRENT level's texts (reference bug fixed:
+        # it re-sliced the base captions at every level, utiles.py:455).
+        assert calls[-1] == ["cap0+cap1", "cap2+cap3"]
+        feats, texts = tree.search(jnp.ones((6,)))
+        assert feats and texts
+
+    def test_top_down_flat_chunks(self):
+        from streamchat_tpu.memory.tree import VisualMemoryTree
+
+        feats = jnp.ones((25, 2, 8))
+        tree = VisualMemoryTree.build_top_down(
+            feats, chunk_size=10, num_clusters=3, merge_fn=self._merge
+        )
+        # 3 chunks (10/10/5), each clustered to num_clusters (the reference
+        # clusters every chunk unconditionally, utiles.py:359-364).
+        assert [r.centroids.shape[0] for r in tree.roots] == [3, 3, 3]
+        assert all(r.depth == 0 for r in tree.roots)
