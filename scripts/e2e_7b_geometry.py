@@ -49,9 +49,16 @@ V03 = dict(sample_rate=0.2, num_clusters=5, interval=10,
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--chunk_size", type=int, default=20)
-    p.add_argument("--caption_batch", type=int, default=3,
+    p.add_argument("--caption_batch", type=int, default=1,
                    help="chunks captioned per batched generate (1 = the "
-                        "reference's strictly sequential captioning)")
+                        "reference's strictly sequential captioning; >1 "
+                        "measured no win at chunk-20's 11.6k-token prompts "
+                        "— prefill dominates — and its ~4 GB transient "
+                        "OOMs segment 2 alongside the resident programs)")
+    p.add_argument("--kv_int8", action="store_true",
+                   help="int8 KV pages. Needed for chunk_size=40's 23k "
+                        "contexts; at chunk 20 bf16 KV fits and decodes "
+                        "~30%% faster (11.0 vs 15.7 ms/tok, probe_kvint8)")
     p.add_argument("--out", default=os.path.join(REPO, "E2E_7B_GEOMETRY.json"))
     p.add_argument("--segments", type=int, default=2,
                    help="breakpoints per video (2 = the proven axon "
@@ -184,10 +191,13 @@ def stage1_pipeline(report, args):
         # short memory + 3 retrieval levels + text at these settings, so the
         # session uses exactly TWO decoder programs: caption(11648,128) and
         # answer/summary(12288,256).
-        kv_int8=True,
+        kv_int8=args.kv_int8,
         prompt_bucket=12288,
     )
-    report["kv_cache"] = "paged int8 (per-token-head scales), chunked prefill"
+    report["kv_cache"] = (
+        ("paged int8 (per-token-head scales)" if args.kv_int8
+         else "paged bf16 (sequential-pool kernel)") + ", chunked prefill"
+    )
     report["chunk_size"] = args.chunk_size
     report["caption_batch"] = args.caption_batch
 
