@@ -383,6 +383,9 @@ def prefill_chunked(
         embeds = jnp.pad(embeds, ((0, 0), (0, s128 - s), (0, 0)))
         s = s128
     offsets = list(range(0, s, chunk))
+    final_off = offsets[-1]
+    final_width = s - final_off
+    hidden_last = None
     for off in offsets:
         width = min(chunk, s - off)          # final chunk may be partial
         blk = jax.lax.slice_in_dim(embeds, off, off + width, axis=1)
@@ -396,32 +399,45 @@ def prefill_chunked(
             k=cache.k, v=cache.v,
             length=jnp.full((b,), off, jnp.int32),
         )
-        _, cache = forward(
+        hidden, cache = forward(
             params, cfg, blk, positions, cache,
             jnp.full((b,), width, jnp.int32),
             decode=False, chunked=off > 0,
         )
+        if off == final_off:
+            hidden_last = hidden             # [B, final_width, D], post-norm
     # kv_length must reflect the true ragged lengths for decoding. Garbage
     # K/V written past each row's seq_length were never visible in-loop
     # (causal: valid queries sit strictly before them) and are masked for
     # decode by the length reset here.
     cache = KVCache(k=cache.k, v=cache.v, length=seq_length.astype(jnp.int32))
-    # Next-token logits: re-run a chunk-sized window holding each row's last
-    # token against the completed cache (cheap — one chunk) and index its
-    # hidden. The window start is the row's chunk offset clamped so the
-    # window fits inside the padded prompt (the last chunk may be partial;
-    # a clamped window still contains the row's last token and recomputes
-    # identical K/V for the overlap it rewrites into the scratch cache).
     last_pos = (seq_length - 1).astype(jnp.int32)
-    win = jnp.minimum((last_pos // chunk) * chunk, s - chunk)
-    blk = jax.vmap(
-        lambda e, o: jax.lax.dynamic_slice_in_dim(e, o, chunk, axis=0)
-    )(embeds, win)
-    positions = win[:, None] + jnp.arange(chunk, dtype=jnp.int32)[None]
-    scratch = KVCache(k=cache.k, v=cache.v, length=win)
-    hidden, _ = forward(
-        params, cfg, blk, positions, scratch,
-        jnp.full((b,), chunk, jnp.int32), decode=False, chunked=True,
-    )
-    last = jnp.take_along_axis(hidden, (last_pos - win)[:, None, None], axis=1)
+    # Next-token logits. Fast path: every row's last token sits in the FINAL
+    # chunk (always true for B=1 prompts bucketed to <= chunk, i.e. the
+    # production caption/answer paths) — reuse that chunk's hidden states.
+    # Fallback: re-run a chunk-sized window over the completed cache (a
+    # clamped window still contains the row's last token and recomputes
+    # identical K/V for the overlap it rewrites into the scratch copy). The
+    # fallback forward costs a full extra chunk (~30% of a bucketed-prompt
+    # prefill), which is why it sits behind the cond.
+    in_final = jnp.all(last_pos >= final_off)
+
+    def reuse(_):
+        idx = jnp.clip(last_pos - final_off, 0, final_width - 1)
+        return jnp.take_along_axis(hidden_last, idx[:, None, None], axis=1)
+
+    def rerun(_):
+        win = jnp.minimum((last_pos // chunk) * chunk, s - chunk)
+        blk = jax.vmap(
+            lambda e, o: jax.lax.dynamic_slice_in_dim(e, o, chunk, axis=0)
+        )(embeds, win)
+        positions = win[:, None] + jnp.arange(chunk, dtype=jnp.int32)[None]
+        scratch = KVCache(k=cache.k, v=cache.v, length=win)
+        hid, _ = forward(
+            params, cfg, blk, positions, scratch,
+            jnp.full((b,), chunk, jnp.int32), decode=False, chunked=True,
+        )
+        return jnp.take_along_axis(hid, (last_pos - win)[:, None, None], axis=1)
+
+    last = jax.lax.cond(in_final, reuse, rerun, None)
     return logits_from_hidden(params, cfg, last)[:, 0], cache

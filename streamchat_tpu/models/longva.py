@@ -67,6 +67,10 @@ class LongVA:
     # session (observed: per-segment answer shapes evicting the caption
     # program's headroom at 7B geometry).
     prompt_bucket: int = 128
+    # Bounded cache of text-run embeddings keyed by token-id tuple: the
+    # caption/summary prompts are CONSTANT text, and each eager embed_tokens
+    # dispatch costs 50-90 ms through the remote-TPU relay.
+    _text_cache: dict = dataclasses.field(default_factory=dict, repr=False)
 
     # ------------------------------------------------------------------
     # Construction
@@ -143,6 +147,7 @@ class LongVA:
         self.dec_params = shard_pytree(
             self.dec_params, decoder_pspecs(self.dec_cfg, quantized=quantized), mesh
         )
+        self._text_cache.clear()    # cached embeds hold pre-shard placement
         return self
 
     def quantize(self, quantize_embed: bool = False) -> "LongVA":
@@ -158,6 +163,7 @@ class LongVA:
         self.dec_params = quantize_decoder_params(
             self.dec_params, quantize_embed=quantize_embed
         )
+        self._text_cache.clear()    # embedding table may have changed
         return self
 
     # ------------------------------------------------------------------
@@ -205,11 +211,16 @@ class LongVA:
         def flush_text():
             nonlocal text_run
             if text_run:
-                segments.append(
-                    decoder.embed_tokens(
+                key = tuple(text_run)
+                emb = self._text_cache.get(key)
+                if emb is None:
+                    emb = decoder.embed_tokens(
                         self.dec_params, jnp.asarray(text_run, jnp.int32)
                     )
-                )
+                    if len(self._text_cache) >= 64:   # bound device residency
+                        self._text_cache.pop(next(iter(self._text_cache)))
+                    self._text_cache[key] = emb
+                segments.append(emb)
                 text_run = []
 
         for tid in ids:

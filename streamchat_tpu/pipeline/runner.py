@@ -154,7 +154,8 @@ class StreamChatPipeline:
                 reader.schedule(segment_indices(
                     reader, ns, ne, self.cfg.video, self.cfg.memory.chunk_size
                 ))
-            features = dedup_segment(features, self.cfg.video.dedup_threshold)
+            with timer.phase("dedup"):
+                features = dedup_segment(features, self.cfg.video.dedup_threshold)
 
             if features.shape[0] > 0:
                 with timer.phase("memory_update"):
@@ -177,13 +178,15 @@ class StreamChatPipeline:
                             "skipping question", start_s, end_s)
                 continue
 
-            history_prompt = self._history_prompt(memory_index, q["question"])
+            with timer.phase("history"):
+                history_prompt = self._history_prompt(memory_index, q["question"])
 
             with timer.phase("answer"):
                 res = self._answer(q, short_memory, tree, history_prompt)
-            memory_index = self._record_and_store(
-                results, q, end_s, res, bank, user_name, save_file
-            )
+            with timer.phase("store"):
+                memory_index = self._record_and_store(
+                    results, q, end_s, res, bank, user_name, save_file
+                )
         prefetch.stop()
         log.info("phase totals (s): %s", {
             k: round(v, 2) for k, v in timer.summary().items()
