@@ -70,6 +70,50 @@ def flash_vit_shape():
     return _err(out, ref)
 
 
+def flash_ragged_grid():
+    """flash_attention where S is a 128-multiple but NOT a block multiple
+    (1408 = 128*11): the ceil grid's masked edge blocks must be numerically
+    inert (round-3 fix — the old divisor fallback collapsed blocks to 128,
+    a 20k-step grid at the 11648-token caption shape)."""
+    from streamchat_tpu.ops.attention import _attention_reference, flash_attention
+
+    b, hq, hkv, s, d = 1, 8, 4, 1408, 128
+    kq, kk, kv = jax.random.split(jax.random.key(20), 3)
+    q = jax.random.normal(kq, (b, hq, s, d), jnp.bfloat16)
+    k = jax.random.normal(kk, (b, hkv, s, d), jnp.bfloat16)
+    v = jax.random.normal(kv, (b, hkv, s, d), jnp.bfloat16)
+    out = flash_attention(q, k, v, causal=True)
+    ref = _attention_reference(q, k, v, causal=True, sm_scale=d**-0.5)
+    return _err(out, ref)
+
+
+def flash_partial_ragged_grid():
+    """flash_attention_partial at the chunked-prefill geometry: a 256-row
+    chunk attending a 1408-slot cache (ragged KV grid, global causal)."""
+    from streamchat_tpu.ops.attention import flash_attention_partial
+    from streamchat_tpu.ops.ring_attention import NEG_INF, _block_attn
+
+    b, hq, hkv, sq, sk, d = 1, 28, 4, 256, 1408, 128
+    kq, kk, kv = jax.random.split(jax.random.key(21), 3)
+    q = jax.random.normal(kq, (b, hq, sq, d), jnp.bfloat16)
+    k = jax.random.normal(kk, (b, hkv, sk, d), jnp.bfloat16)
+    v = jax.random.normal(kv, (b, hkv, sk, d), jnp.bfloat16)
+    kv_len = jnp.array([1290], jnp.int32)         # ragged valid length too
+    q_off = jnp.asarray(1034)                     # mid-prompt chunk
+    a_ref, _, l_ref = _block_attn(
+        q, k, v, q_off, jnp.asarray(0), d**-0.5, True,
+        use_flash=False, kv_length=kv_len,
+    )
+    a, _, l = flash_attention_partial(
+        q, k, v, q_off, jnp.asarray(0), kv_len,
+        causal=True, sm_scale=d**-0.5, neg_inf=NEG_INF,
+    )
+    ls_ref = np.where(np.asarray(l_ref) == 0, 1, np.asarray(l_ref))
+    ls = np.where(np.asarray(l) == 0, 1, np.asarray(l))
+    return _err(np.asarray(a) / ls[..., None],
+                np.asarray(a_ref) / ls_ref[..., None])
+
+
 def flash_partial_vs_xla_block():
     """Compiled flash_attention_partial vs the XLA ring block (all 3 ring
     geometries: diagonal, below-diagonal, above-diagonal)."""
@@ -290,6 +334,9 @@ def main():
     ok = True
     ok &= check("flash_decoder_prefill(4k,GQA)", flash_decoder_prefill, 2e-2)
     ok &= check("flash_vit(577,non-causal)", flash_vit_shape, 2e-2)
+    ok &= check("flash_ragged_grid(1408)", flash_ragged_grid, 2e-2)
+    ok &= check("flash_partial_ragged_grid(256x1408)",
+                flash_partial_ragged_grid, 2e-2)
     ok &= check("flash_partial_ring_block", flash_partial_vs_xla_block, 2e-2)
     ok &= check("ring_flash_1dev_mesh", ring_flash_one_device, 2e-2)
     ok &= check("pallas_paged_decode(7B geom)", pallas_paged_decode_vs_xla, 2e-2)

@@ -39,6 +39,8 @@ def main():
                    help="caption prompt length (chunk 20 ~= 11648; 40 ~= 23168)")
     p.add_argument("--batch", type=int, default=3)
     p.add_argument("--max_new", type=int, default=128)
+    p.add_argument("--kv_int8", action="store_true",
+                   help="int8 KV pages (default bf16 — the chunk-20 e2e path)")
     args = p.parse_args()
 
     assert jax.default_backend() == "tpu", "requires the real chip"
@@ -69,7 +71,7 @@ def main():
             t, _ = timed(
                 generate_paged, params, cfg, embeds, lengths,
                 jax.random.key(2 + i), max_new_tokens=max_new,
-                page_size=128, kv_int8=True, temperature=0.0,
+                page_size=128, kv_int8=args.kv_int8, temperature=0.0,
             )
             times.append(t)
         warm = times[1:]

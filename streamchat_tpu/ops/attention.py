@@ -78,6 +78,7 @@ def _flash_kernel(
     block_q: int,
     block_k: int,
     num_kv_blocks: int,
+    ragged_k: bool,
 ):
     b = pl.program_id(0)
     qi = pl.program_id(2)
@@ -124,6 +125,12 @@ def _flash_kernel(
         l_scratch[...] = l_next
 
         v = v_ref[0, 0]                                         # [bk, d]
+        if ragged_k:
+            # Edge KV blocks read Pallas-padded garbage whose bit patterns
+            # can decode as NaN; p==0 does NOT neutralize NaN in the dot
+            # (0*NaN=NaN), so zero the garbage rows of v explicitly.
+            vrow = jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0) + kj * block_k
+            v = jnp.where(vrow < kv_len, v, jnp.zeros_like(v))
         acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + jax.lax.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
@@ -185,21 +192,17 @@ def flash_attention(
         )
         return out[:, :, :sq]
 
-    # Prompts are padded to 128-multiples (models/generate.pad_to_bucket);
-    # fall back from the requested block to 128 when the length is not a
-    # multiple of the larger tile (e.g. 640-token prompts).
-    def pick_block(requested: int, s: int) -> int:
-        b = min(requested, s)
-        while b > 128 and s % b:
-            b //= 2
-        return b if s % b == 0 else s
-
-    block_q = pick_block(block_q, sq)
-    block_k = pick_block(block_k, sk)
-    if sq % block_q or sk % block_k:
-        raise ValueError(f"seq lens ({sq},{sk}) not divisible by blocks ({block_q},{block_k})")
-
-    grid = (b, hq, sq // block_q, sk // block_k)
+    # Keep the requested (large) blocks and let the GRID be ragged: edge
+    # blocks read Pallas-padded garbage that the kv_len / row masks kill.
+    # (The old divisor-shrinking fallback collapsed block_k to 128 for any
+    # length with an odd 128-multiple — e.g. 11648 = 128*91, the chunk-20
+    # caption cache — exploding the grid to ~20k tiny steps and costing
+    # ~2 s of a 7B prefill; profiled round 3.)
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    nq = -(-sq // block_q)
+    nkv = -(-sk // block_k)
+    grid = (b, hq, nq, nkv)
     q_per_kv = hq // hkv
 
     kernel = functools.partial(
@@ -208,7 +211,8 @@ def flash_attention(
         sm_scale=sm_scale,
         block_q=block_q,
         block_k=block_k,
-        num_kv_blocks=sk // block_k,
+        num_kv_blocks=nkv,
+        ragged_k=bool(sk % block_k),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -320,6 +324,7 @@ def _flash_partial_kernel(
     block_k: int,
     num_kv_blocks: int,
     neg_inf: float,
+    ragged_k: bool,
 ):
     """Flash tile pass that emits (acc, m, l) instead of normalized output.
 
@@ -380,6 +385,10 @@ def _flash_partial_kernel(
         m_scratch[...] = m_next
 
         v = v_ref[0, 0]
+        if ragged_k:
+            # See _flash_kernel: NaN garbage in edge-block v survives p==0.
+            vrow = jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0) + kj * block_k
+            v = jnp.where(vrow < kv_len, v, jnp.zeros_like(v))
         acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + jax.lax.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
@@ -412,8 +421,8 @@ def flash_attention_partial(
     *,
     causal: bool = True,
     sm_scale: float | None = None,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: int = 1024,
+    block_k: int = 1024,
     interpret: bool = False,
     neg_inf: float = -1e30,
 ):
@@ -432,15 +441,13 @@ def flash_attention_partial(
     if sq % 128 or sk % 128:
         raise ValueError(f"partial flash needs 128-multiple seqs, got ({sq},{sk})")
 
-    def pick_block(requested: int, s: int) -> int:
-        blk = min(requested, s)
-        while blk > 128 and s % blk:
-            blk //= 2
-        return blk if s % blk == 0 else s
-
-    block_q = pick_block(block_q, sq)
-    block_k = pick_block(block_k, sk)
-    grid = (b, hq, sq // block_q, sk // block_k)
+    # Ragged grids with masked edge blocks (see flash_attention): shrinking
+    # blocks to divisors exploded the grid for odd 128-multiples.
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    nq = -(-sq // block_q)
+    nkv = -(-sk // block_k)
+    grid = (b, hq, nq, nkv)
     q_per_kv = hq // hkv
 
     kernel = functools.partial(
@@ -449,8 +456,9 @@ def flash_attention_partial(
         sm_scale=sm_scale,
         block_q=block_q,
         block_k=block_k,
-        num_kv_blocks=sk // block_k,
+        num_kv_blocks=nkv,
         neg_inf=neg_inf,
+        ragged_k=bool(sk % block_k),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -74,6 +74,43 @@ def test_flash_autopad_ragged_lengths(key):
     assert jnp.max(jnp.abs(out - ref)) < 2e-3
 
 
+@pytest.mark.parametrize("causal", [True, False])
+def test_flash_ragged_grid(key, causal):
+    """Seq lens that are 128-multiples but NOT block multiples (e.g. the
+    11648-token caption cache = 128*91) run with a ceil grid whose edge
+    blocks are masked — not by shrinking blocks to divisors (round-3 perf
+    fix). 384 with 256-blocks gives a 128-row edge block on both axes."""
+    q, k, v = _rand_qkv(key, 2, 4, 2, 384, 384, 64)
+    out = flash_attention(q, k, v, causal=causal, block_q=256, block_k=256, interpret=True)
+    ref = _attention_reference(q, k, v, causal=causal, sm_scale=64**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_ragged_grid_kv_length(key):
+    q, k, v = _rand_qkv(key, 2, 4, 4, 256, 384, 64)
+    length = jnp.array([200, 384], dtype=jnp.int32)
+    out = flash_attention(
+        q, k, v, length, causal=False, block_q=256, block_k=256, interpret=True
+    )
+    ref = _attention_reference(q, k, v, causal=False, sm_scale=64**-0.5, kv_length=length)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_partial_ragged_grid(key):
+    """Partial (ring) kernel with a ragged grid merges to the same result."""
+    from streamchat_tpu.ops.attention import flash_attention_partial
+
+    b, h, s, d = 1, 4, 384, 64
+    q, k, v = _rand_qkv(key, b, h, h, s, s, d)
+    acc, m, l = flash_attention_partial(
+        q, k, v, jnp.int32(0), jnp.int32(0),
+        causal=True, block_q=256, block_k=256, interpret=True,
+    )
+    out = (acc / l[..., None]).astype(q.dtype)
+    ref = _attention_reference(q, k, v, causal=True, sm_scale=d**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_vit_attention_matches_reference(key):
     from streamchat_tpu.ops.attention import _attention_reference
     from streamchat_tpu.ops.vit_attention import vit_attention
