@@ -207,6 +207,9 @@ def stage1_pipeline(report, args):
             interval=V03["interval"], short_window=V03["short_window"],
             remember_window=V03["remember_window"], tau=V03["tau"],
             compress_rate=V03["compress_rate"],
+            # Raw chunk copies are ~1 GB at chunk 40; the 23k-token caption
+            # prefill needs that HBM (run B OOMed at caption #1 without it).
+            offload_chunks=True,
         ),
         # Visual-token budget keeps the answer prompt inside ONE 12288
         # bucket as the tree deepens (unbounded retrieval compiled a third

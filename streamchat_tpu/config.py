@@ -27,6 +27,11 @@ class MemoryConfig:
     remember_window: int = 5      # frames sampled from the FIFO
     tau: float = 5.0              # Ebbinghaus decay constant
     compress_rate: int = 1        # spatial avg-pool factor over the patch grid
+    # Park raw caption chunks in host RAM between chunking and captioning
+    # (each rides back inside its caption's splice). Frees ~1 GB of HBM that
+    # the long caption prefills need at chunk_size=40 / 7B geometry; costs
+    # one extra H2D per caption, so off by default for small-model runs.
+    offload_chunks: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -291,8 +291,11 @@ class LongVA:
                 key if key is not None else self.keys(),
                 **common,
             )
-        n = int(count[0])
-        return self.tokenizer.decode([int(t) for t in toks[0][:n]]).strip()
+        # ONE bulk device->host transfer: `int(t) for t in toks[0][:n]` on a
+        # device array issues a slice dispatch + readback PER TOKEN, which on
+        # the ~50-90 ms/call relayed backend costs seconds per generation.
+        toks_np, count_np = jax.device_get((toks, count))
+        return self.tokenizer.decode(toks_np[0][: int(count_np[0])].tolist()).strip()
 
     def _paged_budget(self, prompt_len: int, max_new_tokens: int) -> dict:
         """Paged-decode pool sizing. With kv_budget_tokens set, the pool is
@@ -389,13 +392,13 @@ class LongVA:
             toks, count = genlib.generate(
                 self.dec_params, self.dec_cfg, embeds, lengths, k, **common
             )
-        out = []
-        for row in range(len(prompts)):
-            n = int(count[row])
-            out.append(
-                self.tokenizer.decode([int(t) for t in toks[row][:n]]).strip()
-            )
-        return out
+        # Bulk transfer (see generate_with_image_embedding: per-token int()
+        # readbacks cost a relay round trip each).
+        toks_np, count_np = jax.device_get((toks, count))
+        return [
+            self.tokenizer.decode(toks_np[row][: int(count_np[row])].tolist()).strip()
+            for row in range(len(prompts))
+        ]
 
     def score_with_image_embedding(
         self,

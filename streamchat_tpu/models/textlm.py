@@ -113,10 +113,10 @@ class TextLM:
             temperature=temperature, top_p=top_p,
             eos_ids=tuple(self.tokenizer.eos_ids),
         )
-        out = []
-        for row in range(b):
-            n = int(count[row])
-            out.append(
-                self.tokenizer.decode([int(t) for t in toks[row][:n]]).strip()
-            )
-        return out
+        # Bulk device->host transfer; per-token int() readbacks pay a relay
+        # round trip each (see longva.generate_with_image_embedding).
+        toks_np, count_np = jax.device_get((toks, count))
+        return [
+            self.tokenizer.decode(toks_np[row][: int(count_np[row])].tolist()).strip()
+            for row in range(b)
+        ]

@@ -161,9 +161,9 @@ def flash_attention(
     """Tiled flash attention. q [B,H,Sq,D], k/v [B,Hkv,Sk,D] -> [B,H,Sq,D].
 
     kv_length ([B] int32) masks padded KV positions; defaults to full Sk.
-    Sequence dims must be multiples of the block sizes (callers pad prompts to
-    128-multiples anyway to bound recompilation; pick_block halves oversized
-    blocks down to fit).
+    Any sequence length works: non-128-multiples are padded (below), and
+    lengths that aren't block multiples run on a ceil grid with masked edge
+    blocks.
 
     Block default: 1024x1024 measured 2.5x faster than 256x256 at the
     decoder's prefill shape (S=4096, D=128: 2.5 vs 6.3 ms on v5e); 2048

@@ -84,7 +84,7 @@ def chunk_and_cluster(
 
 
 def update_memory(
-    features: jnp.ndarray,
+    features,                     # [N, P, D] array, or a 1-element list box
     tree: Optional[VisualMemoryTree],
     caption_fn: CaptionFn,
     cfg: MemoryConfig,
@@ -97,13 +97,26 @@ def update_memory(
     wiring); passing the same tree across segments accumulates long memory
     within a video, as the reference does (long_memory_tree spans segments,
     reset per video at :835).
+
+    `features` may be passed as a 1-element list; it is popped, making this
+    frame the stack's only owner so `del` after chunking actually frees the
+    ~1 GB of HBM the long caption prefills need (a caller-held reference
+    would pin it).
     """
+    if isinstance(features, list):
+        features = features.pop()
     if cfg.compress_rate > 1:
         features = compress_spatial_features(features, cfg.compress_rate)
     k1, k2 = jax.random.split(key)
     short = build_short_memory(features, cfg, k1)
     raw_chunks, node_feats = chunk_and_cluster(features, cfg, k2, cluster_full_chunks)
     del features  # chunk copies + short memory carry everything needed
+    if cfg.offload_chunks:
+        # Park the raw chunks in host RAM until each one's caption runs:
+        # at chunk_size=40 / 7B geometry the chunk copies alone are ~1 GB of
+        # HBM, needed simultaneously with the 23k-token caption prefill.
+        # Each chunk rides back to the device inside its caption's splice.
+        raw_chunks = [jax.device_get(c) for c in raw_chunks]
     # Caption group-by-group and release each raw chunk as soon as its
     # caption exists — at v0.3 settings the raw chunks total ~1 GB of HBM
     # at 7B geometry, and each long caption prefill needs that room.

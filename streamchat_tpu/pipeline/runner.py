@@ -108,7 +108,17 @@ class StreamChatPipeline:
         from streamchat_tpu.utils.profiling import PhaseTimer
         from streamchat_tpu.video.reader import PrefetchReader
 
+        # Time LLM summarization separately (a subset of "memory_update",
+        # like "caption"): the tree calls self._summarize during add/merge.
+        orig_summarize = self._summarize
+
+        def timed_summarize(captions):
+            with timer.phase("summarize"):
+                return orig_summarize(captions)
+
+        self._summarize = timed_summarize
         tree = self.new_tree()
+        self._summarize = orig_summarize
         memory_index = bank.enter_name(user_name)
         results = []
         timer = PhaseTimer()
@@ -159,15 +169,19 @@ class StreamChatPipeline:
 
             if features.shape[0] > 0:
                 with timer.phase("memory_update"):
+                    # Box-pass moves ownership of the segment's feature stack
+                    # (~1 GB at v0.3 settings, 7B geometry) into
+                    # update_memory: its internal `del features` after
+                    # chunking only frees HBM if no caller frame still
+                    # references the stack, and each long caption prefill
+                    # needs that room.
+                    box = [features]
+                    features = None
                     tree, short_memory = update_memory(
-                        features, tree, timed_caption, self.cfg.memory,
+                        box, tree, timed_caption, self.cfg.memory,
                         self._next_key(),
                         cluster_full_chunks=self.cluster_full_chunks,
                     )
-                # The segment's full feature stack (~1 GB at v0.3 settings,
-                # 7B geometry) is consumed by the update; holding it through
-                # captioning/answering costs real HBM headroom.
-                features = None
             # An empty segment (e.g. two breakpoints inside the same second)
             # still gets answered from the PREVIOUS short memory + tree,
             # like the reference, which only refreshes the buffers when the
@@ -183,6 +197,13 @@ class StreamChatPipeline:
 
             with timer.phase("answer"):
                 res = self._answer(q, short_memory, tree, history_prompt)
+            # Attribute the answer's two halves (AnswerResult already splits
+            # retrieval/prompt-assembly from the generate call) so artifacts
+            # can see which side of the 7B answer dominates.
+            timer.totals["answer.retrieval"] += res.process_time
+            timer.totals["answer.generate"] += res.generate_time
+            timer.counts["answer.retrieval"] += 1
+            timer.counts["answer.generate"] += 1
             with timer.phase("store"):
                 memory_index = self._record_and_store(
                     results, q, end_s, res, bank, user_name, save_file
@@ -471,6 +492,10 @@ def parse_args(argv=None):
                    help="full bf16 decoder weights (opt out of int8 serving)")
     p.add_argument("--save_tree_dir", type=str, default=None,
                    help="persist each video's visual memory tree here")
+    p.add_argument("--offload_chunks", action="store_true",
+                   help="park raw caption chunks in host RAM until each "
+                        "caption runs (frees ~1 GB of HBM for the long "
+                        "caption prefills at chunk_size=40 / 7B geometry)")
     p.add_argument("--literal_kmeans", action="store_true",
                    help="reproduce the reference's dead per-chunk k-means "
                         "guard (raw chunk features in tree nodes)")
@@ -489,6 +514,7 @@ def config_from_args(args) -> PipelineConfig:
             remember_window=args.remember_window,
             tau=float(args.tau),
             compress_rate=args.compress_rate,
+            offload_chunks=args.offload_chunks,
         ),
         sampling=SamplingConfig(
             temperature=args.temperature,

@@ -340,3 +340,40 @@ def test_batched_captioning_matches_sequential(tmp_path):
         outs.append(([n.text for n in tree.roots], np.asarray(short)))
     assert outs[0][0] == outs[1][0], "batched captions diverge from sequential"
     np.testing.assert_allclose(outs[0][1], outs[1][1])
+
+
+def test_update_memory_box_pass_and_offload(tmp_path):
+    """Box-passed features are popped (caller frame releases the stack) and
+    offload_chunks parks raw chunks on host without changing the result."""
+    import dataclasses
+
+    import numpy as np
+
+    from streamchat_tpu.pipeline.memory_update import update_memory
+
+    pipe = _fresh_pipeline()
+    feats = jax.random.normal(
+        jax.random.key(5), (20, 4, pipe.model.dec_cfg.hidden_size)
+    )
+
+    tree_a = pipe.new_tree()
+    tree_a, short_a = update_memory(
+        feats, tree_a, pipe._caption, pipe.cfg.memory, jax.random.key(9),
+    )
+
+    seen = []
+
+    def spy_caption(chunk):
+        seen.append(type(chunk))
+        return pipe._caption(np.asarray(chunk))
+
+    box = [feats]
+    off_cfg = dataclasses.replace(pipe.cfg.memory, offload_chunks=True)
+    tree_b = pipe.new_tree()
+    tree_b, short_b = update_memory(
+        box, tree_b, spy_caption, off_cfg, jax.random.key(9),
+    )
+    assert box == [], "box-passed features must be popped by update_memory"
+    assert all(t is np.ndarray for t in seen), "offloaded chunks must be host arrays"
+    assert [n.text for n in tree_a.roots] == [n.text for n in tree_b.roots]
+    np.testing.assert_allclose(np.asarray(short_a), np.asarray(short_b))
