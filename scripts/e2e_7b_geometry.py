@@ -59,6 +59,11 @@ def parse_args(argv=None):
                    help="int8 KV pages. Needed for chunk_size=40's 23k "
                         "contexts; at chunk 20 bf16 KV fits and decodes "
                         "~30%% faster (11.0 vs 15.7 ms/tok, probe_kvint8)")
+    p.add_argument("--offload_chunks", action="store_true",
+                   help="park raw caption chunks in host RAM. Run-B2 data: "
+                        "made chunk-40 fit before int8 dense prefill existed "
+                        "but taxes every caption with a ~165 MB relay H2D; "
+                        "with Int8KVCache prefill chunk-40 fits without it")
     p.add_argument("--out", default=os.path.join(REPO, "E2E_7B_GEOMETRY.json"))
     p.add_argument("--segments", type=int, default=2,
                    help="breakpoints per video (2 = the proven axon "
@@ -207,9 +212,7 @@ def stage1_pipeline(report, args):
             interval=V03["interval"], short_window=V03["short_window"],
             remember_window=V03["remember_window"], tau=V03["tau"],
             compress_rate=V03["compress_rate"],
-            # Raw chunk copies are ~1 GB at chunk 40; the 23k-token caption
-            # prefill needs that HBM (run B OOMed at caption #1 without it).
-            offload_chunks=True,
+            offload_chunks=args.offload_chunks,
         ),
         # Visual-token budget keeps the answer prompt inside ONE 12288
         # bucket as the tree deepens (unbounded retrieval compiled a third

@@ -56,6 +56,36 @@ class KVCache(NamedTuple):
         )
 
 
+class Int8KVCache(NamedTuple):
+    """Dense KV cache stored int8 with per-(token, head) f32 scales.
+
+    Same [L, B, Hkv, Lmax, Dh] layout as KVCache but HALF the HBM: a 23k-token
+    Qwen2-7B cache is ~1.35 GB instead of ~2.7. Used for long kv_int8 chunked
+    prefills so the dense prefill transient never exists in bf16 — the values
+    are quantized exactly like paged_kv._quantize_kv, so repaging to
+    PagedKVCacheInt8 afterwards is a pure layout shuffle. Later chunks attend
+    to a per-layer dequantized view (~50 MB transient), which matches the
+    precision decode would see from the int8 pages anyway.
+    """
+
+    k: jnp.ndarray            # int8 [L, B, Hkv, Lmax, Dh]
+    v: jnp.ndarray
+    k_s: jnp.ndarray          # f32 [L, B, Hkv, Lmax]
+    v_s: jnp.ndarray
+    length: jnp.ndarray       # [B]
+
+    @classmethod
+    def create(cls, cfg: DecoderConfig, batch: int, max_len: int):
+        shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
+        return cls(
+            k=jnp.zeros(shape, jnp.int8),
+            v=jnp.zeros(shape, jnp.int8),
+            k_s=jnp.ones(shape[:-1], jnp.float32),
+            v_s=jnp.ones(shape[:-1], jnp.float32),
+            length=jnp.zeros((batch,), jnp.int32),
+        )
+
+
 def rmsnorm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
     x32 = x.astype(jnp.float32)
     var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
@@ -187,13 +217,19 @@ def _layer(
     kv_length: jnp.ndarray,
     decode: bool,
     chunked: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One transformer block. Returns (x, new_cache_k, new_cache_v).
+    cache_ks: jnp.ndarray | None = None,
+    cache_vs: jnp.ndarray | None = None,
+):
+    """One transformer block. Returns (x, new_k, new_v, new_ks, new_vs);
+    the scale entries are None unless the cache is int8.
 
     cache_k/v: [B, Hkv, Lmax, Dh]; start: [B] write offset (== cache length
     before this call); kv_length: [B] valid KV length *after* writing.
     chunked: mid-prompt prefill chunk — attend causally against the WHOLE
     cache (previous chunks included) instead of just the fresh block.
+    cache_ks/vs: [B, Hkv, Lmax] f32 scales — present iff the cache stores
+    int8 values (Int8KVCache); fresh K/V are then quantized on write and
+    attention reads a per-layer dequantized view.
     """
     b, s, d = x.shape
     hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -211,13 +247,34 @@ def _layer(
     def write_row(cache_row, kv_row, idx):
         return jax.lax.dynamic_update_slice(cache_row, kv_row, (0, idx, 0))
 
-    new_k = jax.vmap(write_row)(cache_k, k.astype(cache_k.dtype), start)
-    new_v = jax.vmap(write_row)(cache_v, v.astype(cache_v.dtype), start)
+    int8_cache = cache_ks is not None
+    if int8_cache:
+        from streamchat_tpu.models.paged_kv import _quantize_kv
+
+        k_i8, k_sc = _quantize_kv(k)            # int8 [B,Hkv,S,Dh], f32 [B,Hkv,S]
+        v_i8, v_sc = _quantize_kv(v)
+        new_k = jax.vmap(write_row)(cache_k, k_i8, start)
+        new_v = jax.vmap(write_row)(cache_v, v_i8, start)
+
+        def write_scale(row, sc, idx):
+            return jax.lax.dynamic_update_slice(row, sc, (0, idx))
+
+        new_ks = jax.vmap(write_scale)(cache_ks, k_sc, start)
+        new_vs = jax.vmap(write_scale)(cache_vs, v_sc, start)
+        # Dequantized per-layer view for attention (~50 MB at 7B/23k — the
+        # whole point is never materializing the full bf16 cache).
+        kd = (new_k.astype(jnp.float32) * new_ks[..., None]).astype(k.dtype)
+        vd = (new_v.astype(jnp.float32) * new_vs[..., None]).astype(v.dtype)
+    else:
+        new_k = jax.vmap(write_row)(cache_k, k.astype(cache_k.dtype), start)
+        new_v = jax.vmap(write_row)(cache_v, v.astype(cache_v.dtype), start)
+        new_ks = new_vs = None
+        kd, vd = new_k, new_v
 
     if decode:
-        o = decode_attention(q, new_k, new_v, kv_length)
+        o = decode_attention(q, kd, vd, kv_length)
     elif chunked:
-        o = _chunk_cache_attention(q, new_k, new_v, start[0], kv_length)
+        o = _chunk_cache_attention(q, kd, vd, start[0], kv_length)
     else:
         # Prefill: attend within the freshly written window (start == 0 for a
         # fresh cache; kv_length masks padding).
@@ -228,7 +285,7 @@ def _layer(
     h = rmsnorm(x, p["post_norm"], cfg.rms_eps)
     gated = jax.nn.silu(_mm(h, p["mlp"]["gate"]).astype(jnp.float32)).astype(h.dtype)
     x = x + _mm(gated * _mm(h, p["mlp"]["up"]), p["mlp"]["down"])
-    return x, new_k, new_v
+    return x, new_k, new_v, new_ks, new_vs
 
 
 def forward(
@@ -255,15 +312,24 @@ def forward(
     # end — the list+stack form transiently held BOTH the input cache and a
     # full copy (~2.7 GB extra at 7B/23k ctx, enough to OOM the 16 GB chip
     # during long caption prefills).
+    int8_cache = isinstance(cache, Int8KVCache)
     ck, cv = cache.k, cache.v
+    cks, cvs = (cache.k_s, cache.v_s) if int8_cache else (None, None)
     for i, p in enumerate(params["layers"]):
-        x, nk, nv = _layer(
+        x, nk, nv, nks, nvs = _layer(
             x, p, cfg, positions, ck[i], cv[i], start, kv_length, decode,
             chunked,
+            cache_ks=cks[i] if int8_cache else None,
+            cache_vs=cvs[i] if int8_cache else None,
         )
         ck = jax.lax.dynamic_update_index_in_dim(ck, nk.astype(ck.dtype), i, 0)
         cv = jax.lax.dynamic_update_index_in_dim(cv, nv.astype(cv.dtype), i, 0)
+        if int8_cache:
+            cks = jax.lax.dynamic_update_index_in_dim(cks, nks, i, 0)
+            cvs = jax.lax.dynamic_update_index_in_dim(cvs, nvs, i, 0)
     x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    if int8_cache:
+        return x, Int8KVCache(k=ck, v=cv, k_s=cks, v_s=cvs, length=kv_length)
     return x, KVCache(k=ck, v=cv, length=kv_length)
 
 
@@ -395,10 +461,7 @@ def prefill_chunked(
         # Every chunk writes at its uniform offset; rows shorter than the
         # running offset write garbage that causal masking keeps invisible
         # (a valid query at p < seq_length only sees cols <= p).
-        cache = KVCache(
-            k=cache.k, v=cache.v,
-            length=jnp.full((b,), off, jnp.int32),
-        )
+        cache = cache._replace(length=jnp.full((b,), off, jnp.int32))
         hidden, cache = forward(
             params, cfg, blk, positions, cache,
             jnp.full((b,), width, jnp.int32),
@@ -410,7 +473,7 @@ def prefill_chunked(
     # K/V written past each row's seq_length were never visible in-loop
     # (causal: valid queries sit strictly before them) and are masked for
     # decode by the length reset here.
-    cache = KVCache(k=cache.k, v=cache.v, length=seq_length.astype(jnp.int32))
+    cache = cache._replace(length=seq_length.astype(jnp.int32))
     last_pos = (seq_length - 1).astype(jnp.int32)
     # Next-token logits. Fast path: every row's last token sits in the FINAL
     # chunk (always true for B=1 prompts bucketed to <= chunk, i.e. the
@@ -432,7 +495,7 @@ def prefill_chunked(
             lambda e, o: jax.lax.dynamic_slice_in_dim(e, o, chunk, axis=0)
         )(embeds, win)
         positions = win[:, None] + jnp.arange(chunk, dtype=jnp.int32)[None]
-        scratch = KVCache(k=cache.k, v=cache.v, length=win)
+        scratch = cache._replace(length=win)
         hid, _ = forward(
             params, cfg, blk, positions, scratch,
             jnp.full((b,), chunk, jnp.int32), decode=False, chunked=True,

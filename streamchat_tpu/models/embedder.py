@@ -140,11 +140,17 @@ class TextEmbedder:
         encoded: List[List[int]] = [
             self.tokenizer.encode(t)[: self.max_length] for t in texts
         ]
-        # Pad the batch to a 16-multiple to bound recompilation.
+        # Pad the sequence to a 16-multiple AND the batch to a power of two:
+        # the dialogue bank re-indexes after every answer with one more
+        # document, so an exact batch dimension compiles a brand-new BERT
+        # program per question (~tens of seconds each through the remote-TPU
+        # relay — measured as the e2e "store" phase). Padding rows are
+        # all-masked; callers slice the result back to len(texts).
         s = max(16, max((len(e) for e in encoded), default=1))
         s = ((s + 15) // 16) * 16
-        ids = np.zeros((len(texts), s), np.int32)
-        mask = np.zeros((len(texts), s), np.int32)
+        n = 1 << (len(texts) - 1).bit_length() if texts else 1
+        ids = np.zeros((n, s), np.int32)
+        mask = np.zeros((n, s), np.int32)
         for i, e in enumerate(encoded):
             ids[i, : len(e)] = e
             mask[i, : len(e)] = 1
@@ -156,10 +162,10 @@ class TextEmbedder:
             return jnp.zeros((0, self.cfg.hidden_size), jnp.float32)
         ids, mask = self._batch_ids(texts)
         hidden = forward(self.params, self.cfg, jnp.asarray(ids), jnp.asarray(mask))
-        return pool(hidden, jnp.asarray(mask), self.cfg.pooling)
+        return pool(hidden, jnp.asarray(mask), self.cfg.pooling)[: len(texts)]
 
     def embed_tokens(self, texts: Sequence[str]) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Texts -> ([N, S, D] token embeddings, [N, S] mask) for MaxSim."""
         ids, mask = self._batch_ids(texts)
         hidden = forward(self.params, self.cfg, jnp.asarray(ids), jnp.asarray(mask))
-        return hidden, jnp.asarray(mask)
+        return hidden[: len(texts)], jnp.asarray(mask)[: len(texts)]

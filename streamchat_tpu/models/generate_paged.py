@@ -159,7 +159,16 @@ def _generate_paged_jit(
     if num_pages is None:
         num_pages = b * max_pages_per_seq
 
-    dense = KVCache.create(cfg, b, s_pad, dtype=prompt_embeds.dtype)
+    if kv_int8 and s_pad > CHUNKED_PREFILL_THRESHOLD:
+        # Long int8-paged prompts prefill straight into a dense INT8 cache
+        # (per-token quantize-on-write, per-layer dequant reads): the bf16
+        # dense cache alone is ~2.7 GB at 7B/23k tokens, and holding it just
+        # to quantize it afterwards is what OOMed the chunk-40 caption path.
+        from streamchat_tpu.models.decoder import Int8KVCache
+
+        dense = Int8KVCache.create(cfg, b, s_pad)
+    else:
+        dense = KVCache.create(cfg, b, s_pad, dtype=prompt_embeds.dtype)
     first_logits, dense = _prefill_inline(
         params, cfg, prompt_embeds, dense, seq_length
     )

@@ -470,7 +470,11 @@ def from_contiguous_int8(
     Quantize-and-repage runs PER LAYER via lax.map: the earlier
     materialize-bf16-pages-then-quantize form transiently held the dense
     cache + a bf16 pool + the int8 pool (~3.5 GB at 7B/23k tokens); here the
-    extra live set is one layer's worth (~50 MB)."""
+    extra live set is one layer's worth (~50 MB).
+
+    `cache` may also be a decoder.Int8KVCache (already-quantized dense cache
+    from a long kv_int8 chunked prefill): then this is a pure layout
+    shuffle — the values were quantized with the same _quantize_kv on write."""
     l, b, hkv, lmax, dh = cache.k.shape
     if lmax % page_size:
         raise ValueError(f"Lmax={lmax} not a multiple of page_size={page_size}")
@@ -480,24 +484,32 @@ def from_contiguous_int8(
     if b * pages_per_row > num_pages:
         raise ValueError("page pool too small for the source cache")
 
-    def one_layer(kv_layer):
-        k_l, v_l = kv_layer                    # [B, Hkv, Lmax, Dh] bf16
-        def repage_q(x):
-            vals, scale = _quantize_kv(x)
-            def pg(t, tail):
-                t = t.reshape((b, hkv, pages_per_row, page_size) + tail)
-                t = jnp.moveaxis(t, 2, 1)       # [B, ppr, Hkv, ps, ...]
-                out_shape = (num_pages, hkv, page_size) + tail
-                out = jnp.zeros(out_shape, t.dtype)
-                return out.at[: b * pages_per_row].set(
-                    t.reshape((b * pages_per_row, hkv, page_size) + tail)
-                )
-            return pg(vals, (dh,)), pg(scale, ())
-        k_i8, k_s = repage_q(k_l)
-        v_i8, v_s = repage_q(v_l)
-        return k_i8, k_s, v_i8, v_s
+    pre_quantized = hasattr(cache, "k_s")
 
-    k_i8, k_s, v_i8, v_s = jax.lax.map(one_layer, (cache.k, cache.v))
+    def pg(t, tail):
+        t = t.reshape((b, hkv, pages_per_row, page_size) + tail)
+        t = jnp.moveaxis(t, 2, 1)               # [B, ppr, Hkv, ps, ...]
+        out_shape = (num_pages, hkv, page_size) + tail
+        out = jnp.zeros(out_shape, t.dtype)
+        return out.at[: b * pages_per_row].set(
+            t.reshape((b * pages_per_row, hkv, page_size) + tail)
+        )
+
+    def one_layer(kv_layer):
+        if pre_quantized:
+            k_i8, k_sc, v_i8, v_sc = kv_layer   # int8 [B,Hkv,Lmax,Dh] + f32
+        else:
+            k_l, v_l = kv_layer                 # [B, Hkv, Lmax, Dh] bf16
+            k_i8, k_sc = _quantize_kv(k_l)
+            v_i8, v_sc = _quantize_kv(v_l)
+        return (pg(k_i8, (dh,)), pg(k_sc, ()),
+                pg(v_i8, (dh,)), pg(v_sc, ()))
+
+    src = (
+        (cache.k, cache.k_s, cache.v, cache.v_s) if pre_quantized
+        else (cache.k, cache.v)
+    )
+    k_i8, k_s, v_i8, v_s = jax.lax.map(one_layer, src)
     table = jnp.full((b, max_pages_per_seq), -1, jnp.int32)
     row_pages = (
         jnp.arange(b)[:, None] * pages_per_row + jnp.arange(pages_per_row)[None]

@@ -214,6 +214,36 @@ class TestChunkedPrefill:
             np.asarray(cache_b.v)[:, 0, :, :n], atol=2e-5,
         )
 
+    def test_int8_cache_prefill_close_to_bf16(self, params, key):
+        """prefill_chunked into an Int8KVCache (quantize-on-write, per-layer
+        dequant reads — the long kv_int8 path that avoids the ~2.7 GB bf16
+        dense transient at 7B/23k): logits and the dequantized cache match
+        the f32-cache path within int8 quantization error, and greedy
+        next-token choice agrees."""
+        b, s, chunk = 1, 96, 32
+        lengths = jnp.asarray([90], jnp.int32)
+        ids = jax.random.randint(key, (b, s), 0, CFG.vocab_size)
+        embeds = _embeds(params, ids)
+        mask = (jnp.arange(s)[None] < lengths[:, None])[..., None]
+        embeds = jnp.where(mask, embeds, 0.0)
+
+        cache_a = KVCache.create(CFG, b, 128, jnp.float32)
+        la, cache_a = decoder.prefill_chunked(
+            params, CFG, embeds, cache_a, lengths, chunk=chunk
+        )
+        cache_q = decoder.Int8KVCache.create(CFG, b, 128)
+        lq, cache_q = decoder.prefill_chunked(
+            params, CFG, embeds, cache_q, lengths, chunk=chunk
+        )
+        assert cache_q.k.dtype == jnp.int8
+        assert int(jnp.argmax(la[0])) == int(jnp.argmax(lq[0]))
+        n = int(lengths[0])
+        kd = np.asarray(cache_q.k, np.float32) * np.asarray(cache_q.k_s)[..., None]
+        ka = np.asarray(cache_a.k)
+        denom = np.maximum(np.abs(ka[:, 0, :, :n]).max(), 1e-6)
+        rel = np.abs(kd[:, 0, :, :n] - ka[:, 0, :, :n]).max() / denom
+        assert rel < 0.02, f"dequantized cache off by {rel:.3f} relative"
+
     def test_cache_too_small_raises(self, params, key):
         """A cache smaller than the prompt is a hard error, not silent
         clamped-scatter corruption."""

@@ -565,3 +565,59 @@ class TestAllocatorOverflowDetection:
                                     max_pages_per_seq=1, page_size=4)
         with pytest.raises(ValueError, match="overflow"):
             allocate_pages(cache, jnp.array([8]))
+
+
+class TestInt8DensePrefill:
+    """Long kv_int8 prompts prefill straight into decoder.Int8KVCache and
+    repage without requantizing (the bf16 dense transient never exists)."""
+
+    def test_repage_prequantized_matches_quantizing_path(self, cfg):
+        """from_contiguous_int8(Int8KVCache built by _quantize_kv) must equal
+        from_contiguous_int8(bf16 KVCache) bit-for-bit — same quantizer."""
+        from streamchat_tpu.models import decoder
+        from streamchat_tpu.models.paged_kv import _quantize_kv, from_contiguous_int8
+
+        l, b, hkv, lmax, dh = cfg.num_layers, 1, cfg.num_kv_heads, 16, cfg.head_dim
+        k = jax.random.normal(jax.random.key(0), (l, b, hkv, lmax, dh), jnp.bfloat16)
+        v = jax.random.normal(jax.random.key(1), (l, b, hkv, lmax, dh), jnp.bfloat16)
+        length = jnp.array([13], jnp.int32)
+        dense = decoder.KVCache(k=k, v=v, length=length)
+        k_i8, k_s = _quantize_kv(k)
+        v_i8, v_s = _quantize_kv(v)
+        pre = decoder.Int8KVCache(k=k_i8, v=v_i8, k_s=k_s, v_s=v_s, length=length)
+
+        a = from_contiguous_int8(dense, 4, 4, page_size=4)
+        q = from_contiguous_int8(pre, 4, 4, page_size=4)
+        np.testing.assert_array_equal(np.asarray(a.k_pages), np.asarray(q.k_pages))
+        np.testing.assert_array_equal(np.asarray(a.v_pages), np.asarray(q.v_pages))
+        np.testing.assert_array_equal(np.asarray(a.k_scale), np.asarray(q.k_scale))
+        np.testing.assert_array_equal(np.asarray(a.page_table), np.asarray(q.page_table))
+
+    def test_long_prompt_kv_int8_generation(self, cfg, monkeypatch):
+        """With the chunked-prefill threshold lowered, a kv_int8 prompt takes
+        the Int8KVCache prefill route end-to-end and still greedy-matches the
+        bf16-cache path on a tiny model."""
+        from streamchat_tpu.models import decoder, generate
+        from streamchat_tpu.models.generate_paged import generate_paged
+
+        # Unique shapes so the patched-threshold trace can't collide with a
+        # cached _generate_paged_jit trace from other tests.
+        monkeypatch.setattr(generate, "CHUNKED_PREFILL_THRESHOLD", 24)
+        used = []
+        orig_create = decoder.Int8KVCache.create.__func__
+        monkeypatch.setattr(
+            decoder.Int8KVCache, "create",
+            classmethod(lambda c, *a, **k: used.append(1) or orig_create(c, *a, **k)),
+        )
+        params = decoder.init(jax.random.key(3), cfg, jnp.float32)
+        ids = jax.random.randint(jax.random.key(5), (1, 37), 0, cfg.vocab_size)
+        embeds = decoder.embed_tokens(params, ids)
+        length = jnp.array([37], jnp.int32)
+        kw = dict(max_new_tokens=7, temperature=0.0, page_size=8)
+        t_full, _ = generate_paged(params, cfg, embeds, length,
+                                   jax.random.key(0), **kw)
+        t_q, _ = generate_paged(params, cfg, embeds, length,
+                                jax.random.key(0), kv_int8=True, **kw)
+        match = np.mean(np.asarray(t_full) == np.asarray(t_q))
+        assert match >= 0.7, f"only {match:.0%} tokens match bf16 cache"
+        assert used, "kv_int8 long prompt did not take the Int8KVCache prefill route"
