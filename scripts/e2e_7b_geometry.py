@@ -279,6 +279,14 @@ def stage1_pipeline(report, args):
         {"question": "What happened at the end?", "answer": "more things",
          "class": "OCP", "time": 120},
     ][: args.segments]
+    # Start from EMPTY dialogue banks: the JSONs persist across runs, and a
+    # stale bank makes the loop-entry enter_name() embed last run's docs —
+    # at a batch-bucket size the cold pass never compiled, which cost a
+    # hidden ~30 s embedder compile at warm-pass start (the "unattributed"
+    # 32 s gap in E2E run A4's warm wall).
+    for stale in ("/tmp/e2e7b_memory.json", "/tmp/e2e7b_memory2.json"):
+        if os.path.exists(stale):
+            os.remove(stale)
     bank = MemoryBank("/tmp/e2e7b_memory.json",
                       lambda t: bank_emb.embed(t))
     save_file = "/tmp/e2e7b_results.json"

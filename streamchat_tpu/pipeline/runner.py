@@ -119,9 +119,14 @@ class StreamChatPipeline:
         self._summarize = timed_summarize
         tree = self.new_tree()
         self._summarize = orig_summarize
-        memory_index = bank.enter_name(user_name)
         results = []
         timer = PhaseTimer()
+        # The loop-entry index build embeds any docs already in the bank; on
+        # a pre-populated bank this can compile a fresh embedder batch bucket
+        # (~30 s through the relay), so attribute it like the in-loop
+        # re-index instead of leaving it outside every phase.
+        with timer.phase("store"):
+            memory_index = bank.enter_name(user_name)
         time_line = [int(q["time"]) for q in breakpoints]
         frame_line = [0] + time_line
         segments = list(zip(breakpoints, frame_line[:-1], frame_line[1:]))
