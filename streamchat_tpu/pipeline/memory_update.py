@@ -125,20 +125,36 @@ def update_memory(
     # sequential captioning.
     batch_fn = getattr(caption_fn, "batch", None)
     group_size = getattr(caption_fn, "batch_size", 1)
-    captions = []
-    while raw_chunks:
-        if batch_fn is not None and group_size > 1:
-            group = [raw_chunks.pop(0)
-                     for _ in range(min(group_size, len(raw_chunks)))]
-            # Batching only pays when there is more than one chunk left.
-            if len(group) == 1:
-                captions.append(caption_fn(group[0]))
+    if batch_fn is None:
+        group_size = 1
+    groups: List[List] = [
+        raw_chunks[i : i + group_size]
+        for i in range(0, len(raw_chunks), group_size)
+    ]
+    del raw_chunks
+    captions: List[str] = []
+    # Offloaded chunks ride host->device through the relay (~165 MB each at
+    # chunk_size=40 / 7B geometry, seconds per transfer). Double-buffer: a
+    # worker thread stages group i+1's device_put while group i's caption
+    # occupies the device, so only the FIRST transfer lands on the critical
+    # path. At most two groups are device-resident at once (~330 MB), well
+    # under the ~1 GB the un-offloaded path would pin.
+    import concurrent.futures
+
+    def _stage(group):
+        return [jax.device_put(c) for c in group]
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
+        pending = pool.submit(_stage, groups[0]) if groups else None
+        for gi in range(len(groups)):
+            cur = pending.result()
+            groups[gi] = None   # drop the host copy
+            pending = (pool.submit(_stage, groups[gi + 1])
+                       if gi + 1 < len(groups) else None)
+            if len(cur) == 1:
+                captions.append(caption_fn(cur[0]))
             else:
-                captions.extend(batch_fn(group))
-            del group
-        else:
-            chunk = raw_chunks.pop(0)
-            captions.append(caption_fn(chunk))
-            del chunk
+                captions.extend(batch_fn(cur))
+            del cur
     tree.add_chunks(node_feats, captions)
     return tree, short
