@@ -204,6 +204,7 @@ def stage1_pipeline(report, args):
          else "paged bf16 (sequential-pool kernel)") + ", chunked prefill"
     )
     report["chunk_size"] = args.chunk_size
+    report["offload_chunks"] = args.offload_chunks
     report["caption_batch"] = args.caption_batch
 
     cfg = PipelineConfig(
@@ -240,7 +241,10 @@ def stage1_pipeline(report, args):
         out = orig_caption(chunk)
         dt = time.time() - t0
         state["durations"].append(dt)
-        log(f"caption #{state['n']} done in {dt:.1f}s")
+        tm = getattr(model, "last_timing", None) or {}
+        log(f"caption #{state['n']} done in {dt:.1f}s"
+            + (f" (splice {tm.get('splice_s')}s generate {tm.get('generate_s')}s"
+               f" fetch {tm.get('fetch_s')}s)" if tm else ""))
         return out
 
     def logged_batch(chunks):

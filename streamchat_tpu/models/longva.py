@@ -262,8 +262,12 @@ class LongVA:
         key: jax.Array | None = None,
         bucket: Optional[int] = None,
     ) -> str:
+        import time as _time
+
+        t0 = _time.time()
         embeds, length = self.splice_prompt(prompt, image_embeddings,
                                             bucket=bucket)
+        t1 = _time.time()
         common = dict(
             max_new_tokens=max_new_tokens,
             temperature=temperature,
@@ -294,7 +298,16 @@ class LongVA:
         # ONE bulk device->host transfer: `int(t) for t in toks[0][:n]` on a
         # device array issues a slice dispatch + readback PER TOKEN, which on
         # the ~50-90 ms/call relayed backend costs seconds per generation.
+        t2 = _time.time()
         toks_np, count_np = jax.device_get((toks, count))
+        t3 = _time.time()
+        # Wall-clock attribution of the last generate call (splice includes
+        # any host->device ride of offloaded image embeddings; generate is
+        # the prefill+decode program; fetch is the token readback). Read by
+        # perf probes/drivers; overwritten every call.
+        self.last_timing = {"splice_s": round(t1 - t0, 2),
+                            "generate_s": round(t2 - t1, 2),
+                            "fetch_s": round(t3 - t2, 2)}
         return self.tokenizer.decode(toks_np[0][: int(count_np[0])].tolist()).strip()
 
     def _paged_budget(self, prompt_len: int, max_new_tokens: int) -> dict:

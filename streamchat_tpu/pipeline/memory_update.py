@@ -133,28 +133,23 @@ def update_memory(
     ]
     del raw_chunks
     captions: List[str] = []
-    # Offloaded chunks ride host->device through the relay (~165 MB each at
-    # chunk_size=40 / 7B geometry, seconds per transfer). Double-buffer: a
-    # worker thread stages group i+1's device_put while group i's caption
-    # occupies the device, so only the FIRST transfer lands on the critical
-    # path. At most two groups are device-resident at once (~330 MB), well
-    # under the ~1 GB the un-offloaded path would pin.
-    import concurrent.futures
-
-    def _stage(group):
-        return [jax.device_put(c) for c in group]
-
-    with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
-        pending = pool.submit(_stage, groups[0]) if groups else None
-        for gi in range(len(groups)):
-            cur = pending.result()
-            groups[gi] = None   # drop the host copy
-            pending = (pool.submit(_stage, groups[gi + 1])
-                       if gi + 1 < len(groups) else None)
-            if len(cur) == 1:
-                captions.append(caption_fn(cur[0]))
-            else:
-                captions.extend(batch_fn(cur))
-            del cur
+    # Offloaded chunks ride host->device just-in-time, on the MAIN thread,
+    # with the device otherwise idle. Measured on the relay
+    # (scripts/probe_put.py): a 165 MB device_put costs only ~0.11 s when the
+    # device is idle, but ~3.5 s when overlapped with in-flight compute — and
+    # it stalls that compute too (overlapped total 3.8 s vs 0.57 s serial).
+    # A double-buffering worker thread (tried in run B3) therefore made every
+    # caption SLOWER (warm caption total 162 s -> 262 s): on this 1-core host
+    # the staging thread contends for the GIL with the decode dispatch loop,
+    # and the relay serializes the transfer against the caption's programs.
+    # Strictly serialize H2D with compute; one group device-resident at once.
+    for gi in range(len(groups)):
+        cur = [jax.device_put(c) for c in groups[gi]]
+        groups[gi] = None   # drop the host copy
+        if len(cur) == 1:
+            captions.append(caption_fn(cur[0]))
+        else:
+            captions.extend(batch_fn(cur))
+        del cur
     tree.add_chunks(node_feats, captions)
     return tree, short
