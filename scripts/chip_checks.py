@@ -308,6 +308,91 @@ def pallas_seq_decode_int8_vs_xla():
     return _err(out, ref)
 
 
+def pallas_seq_decode_batched_vs_xla():
+    """Batched (b=3) partitioned-pool sequential kernel vs the XLA gather
+    path at 7B geometry — the batched-captioning decode step."""
+    from streamchat_tpu.config import DecoderConfig
+    from streamchat_tpu.models.paged_kv import paged_decode_attention
+    from streamchat_tpu.ops.paged_attention import (
+        paged_decode_attention_pallas_seq,
+    )
+
+    cfg = DecoderConfig.qwen2_7b()
+    b, maxp, ps = 3, 16, 128
+    hkv, dh = cfg.num_kv_heads, cfg.head_dim
+    num_pages = b * maxp
+    kf = jax.random.normal(jax.random.key(21), (num_pages, hkv, ps, dh),
+                           jnp.bfloat16)
+    vf = jax.random.normal(jax.random.key(22), (num_pages, hkv, ps, dh),
+                           jnp.bfloat16)
+    table = (jnp.arange(b)[:, None] * maxp
+             + jnp.arange(maxp)[None]).astype(jnp.int32)
+    q = jax.random.normal(jax.random.key(23),
+                          (b, cfg.num_heads, 1, dh), jnp.bfloat16)
+    length = jnp.asarray([1157, 901, 2048], jnp.int32)
+    ref = paged_decode_attention(q, kf, vf, table, length)
+    out = paged_decode_attention_pallas_seq(q, kf, vf, length)
+    return _err(out, ref)
+
+
+def pallas_seq_decode_int8_batched_vs_xla():
+    """Int8 twin of pallas_seq_decode_batched_vs_xla."""
+    from streamchat_tpu.config import DecoderConfig
+    from streamchat_tpu.models.paged_kv import (
+        _quantize_kv, paged_decode_attention_int8,
+    )
+    from streamchat_tpu.ops.paged_attention import (
+        paged_decode_attention_pallas_seq_int8,
+    )
+
+    cfg = DecoderConfig.qwen2_7b()
+    b, maxp, ps = 3, 16, 128
+    hkv, dh = cfg.num_kv_heads, cfg.head_dim
+    num_pages = b * maxp
+    kf = jax.random.normal(jax.random.key(24), (num_pages, hkv, ps, dh),
+                           jnp.bfloat16)
+    vf = jax.random.normal(jax.random.key(25), (num_pages, hkv, ps, dh),
+                           jnp.bfloat16)
+    k_i8, k_s = _quantize_kv(kf)
+    v_i8, v_s = _quantize_kv(vf)
+    table = (jnp.arange(b)[:, None] * maxp
+             + jnp.arange(maxp)[None]).astype(jnp.int32)
+    q = jax.random.normal(jax.random.key(26),
+                          (b, cfg.num_heads, 1, dh), jnp.bfloat16)
+    length = jnp.asarray([1157, 901, 2048], jnp.int32)
+    ref = paged_decode_attention_int8(q, k_i8, v_i8, k_s, v_s, table, length)
+    out = paged_decode_attention_pallas_seq_int8(q, k_i8, v_i8, k_s, v_s,
+                                                 length)
+    return _err(out, ref)
+
+
+def paged_generation_batched_exact():
+    """Batched static-partitioned generate_paged greedy == contiguous
+    batched generate greedy, on chip (ragged lengths).
+
+    Runs under float32 matmul precision: at the TPU default (bf16 passes)
+    the ~5e-3 attention noise between the seq kernel and the XLA gather
+    path flips late-token argmaxes of RANDOM tiny weights seed-dependently
+    — observed on the b=1 check too (row-solo vs contiguous last-token
+    flip). Full precision isolates the plumbing from that noise."""
+    from streamchat_tpu.config import DecoderConfig
+    from streamchat_tpu.models import decoder
+    from streamchat_tpu.models.generate import generate
+    from streamchat_tpu.models.generate_paged import generate_paged
+
+    cfg = DecoderConfig.tiny()
+    params = decoder.init(jax.random.key(0), cfg, jnp.float32)
+    ids = jax.random.randint(jax.random.key(3), (3, 24), 0, cfg.vocab_size)
+    embeds = decoder.embed_tokens(params, ids)
+    length = jnp.array([21, 13, 24], jnp.int32)
+    kw = dict(max_new_tokens=8, temperature=0.0)
+    with jax.default_matmul_precision("float32"):
+        t1, _ = generate(params, cfg, embeds, length, jax.random.key(2), **kw)
+        t2, _ = generate_paged(params, cfg, embeds, length, jax.random.key(2),
+                               page_size=16, **kw)
+    return float(np.max(np.abs(np.asarray(t1) - np.asarray(t2))))
+
+
 def paged_generation_exact():
     """generate_paged greedy == contiguous generate greedy, on chip."""
     from streamchat_tpu.config import DecoderConfig
@@ -346,6 +431,12 @@ def main():
     ok &= check("pallas_seq_decode_int8(7B geom)",
                 pallas_seq_decode_int8_vs_xla, 3e-2)
     ok &= check("paged_generation_token_exact", paged_generation_exact, 0.0)
+    ok &= check("pallas_seq_decode_batched(b=3,7B geom)",
+                pallas_seq_decode_batched_vs_xla, 2e-2)
+    ok &= check("pallas_seq_decode_int8_batched(b=3,7B geom)",
+                pallas_seq_decode_int8_batched_vs_xla, 3e-2)
+    ok &= check("paged_generation_batched_token_exact",
+                paged_generation_batched_exact, 0.0)
     return 0 if ok else 1
 
 

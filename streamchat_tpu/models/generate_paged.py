@@ -156,84 +156,188 @@ def _generate_paged_jit(
         prompt_embeds = jnp.pad(prompt_embeds, ((0, 0), (0, s_pad - s), (0, 0)))
     if max_pages_per_seq is None:
         max_pages_per_seq = -(-(s_pad + max_new_tokens) // page_size)
+        if b > 1 and not compress:
+            # Partitioned batched pools: each row's slice must hold whole
+            # 8-page kernel blocks (paged_decode_attention_pallas_seq).
+            max_pages_per_seq = -(-max_pages_per_seq // 8) * 8
     if num_pages is None:
         num_pages = b * max_pages_per_seq
-
-    if kv_int8 and s_pad > CHUNKED_PREFILL_THRESHOLD:
-        # Long int8-paged prompts prefill straight into a dense INT8 cache
-        # (per-token quantize-on-write, per-layer dequant reads): the bf16
-        # dense cache alone is ~2.7 GB at 7B/23k tokens, and holding it just
-        # to quantize it afterwards is what OOMed the chunk-40 caption path.
-        from streamchat_tpu.models.decoder import Int8KVCache
-
-        dense = Int8KVCache.create(cfg, b, s_pad)
-    else:
-        dense = KVCache.create(cfg, b, s_pad, dtype=prompt_embeds.dtype)
-    first_logits, dense = _prefill_inline(
-        params, cfg, prompt_embeds, dense, seq_length
+    # Statically partitioned pool: row r owns [r*maxp, (r+1)*maxp), table
+    # fully mapped, NO allocator in the decode loop, and the batched
+    # sequential-pool kernel amortizes the per-step weight read across rows.
+    static_partition = (
+        not compress
+        and num_pages == b * max_pages_per_seq
+        and (b == 1 or max_pages_per_seq % 8 == 0)
+        and s_pad <= max_pages_per_seq * page_size
     )
-    cap = max_pages_per_seq * page_size
 
-    if s_pad > cap:
-        # Prompt exceeds the KV budget: H2O-compress the dense prefill
-        # result BEFORE paging it (the reference's H2OKVCache likewise
-        # evicts right after the prompt forward, modeling_kv_cache.py:874).
-        if not compress:
-            raise ValueError(
-                f"prompt ({s_pad} tokens) exceeds the page pool ({cap}) and "
-                "H2O compression is disabled (hh_size=0)"
-            )
-        from streamchat_tpu.ops.kv_compress import compress_kv
+    def _dense_for(rows: int):
+        if kv_int8 and s_pad > CHUNKED_PREFILL_THRESHOLD:
+            # Long int8-paged prompts prefill straight into a dense INT8
+            # cache (per-token quantize-on-write, per-layer dequant reads):
+            # the bf16 dense cache alone is ~2.7 GB at 7B/23k tokens, and
+            # holding it just to quantize it afterwards is what OOMed the
+            # chunk-40 caption path.
+            from streamchat_tpu.models.decoder import Int8KVCache
 
-        hh0 = _seed_hh_from_prompt(dense)               # [L, Hkv, s_pad]
-        comp = jax.vmap(
-            lambda kl, vl, sl: compress_kv(
-                kl, vl, sl, dense.length[0],
-                hh_size=hh_size, recent_size=recent_size,
-                sink_size=sink_size, merge=merge,
-            )
-        )
-        k2, v2, s2, kept = comp(dense.k[:, 0], dense.v[:, 0], hh0)
-        c = k2.shape[2]
-        small = KVCache.create(cfg, b, cap, dtype=dense.k.dtype)
-        dense = KVCache(
-            k=small.k.at[:, 0, :, :c].set(k2.astype(small.k.dtype)),
-            v=small.v.at[:, 0, :, :c].set(v2.astype(small.v.dtype)),
-            length=kept[:1].astype(jnp.int32),
-        )
-        prompt_hh = jnp.zeros(
-            (cfg.num_layers, cfg.num_kv_heads, cap), jnp.float32
-        ).at[:, :, :c].set(s2)
-    elif compress:
-        prompt_hh = jnp.zeros(
-            (cfg.num_layers, cfg.num_kv_heads, cap), jnp.float32
-        ).at[:, :, :s_pad].set(_seed_hh_from_prompt(dense))
-    if kv_int8:
+            return Int8KVCache.create(cfg, rows, s_pad)
+        return KVCache.create(cfg, rows, s_pad, dtype=prompt_embeds.dtype)
+
+    if static_partition and b > 1:
+        # Row-sequential prefill into the shared partitioned pool: peak HBM
+        # is ONE row's dense cache + the pool (vs all rows dense at once —
+        # ~4 GB extra at 3x23k/7B). lax.scan carries the pool buffers, so
+        # each row's dynamic_update_slice lands in place.
+        # NOTE: import only names absent from module scope — a local
+        # `from ... import from_contiguous` here would shadow the module-
+        # level binding across the WHOLE function (UnboundLocalError in the
+        # else branch). from_contiguous_int8 is bound locally in BOTH
+        # branches for the same reason.
         from streamchat_tpu.models.paged_kv import (
-            allocate_pages_int8_checked,
-            decode_step_paged_int8,
+            PagedKVCacheInt8,
             from_contiguous_int8,
         )
 
-        cache = from_contiguous_int8(dense, num_pages, max_pages_per_seq,
-                                     page_size)
-        alloc_fn, step_fn = allocate_pages_int8_checked, decode_step_paged_int8
-    else:
-        cache = from_contiguous(dense, num_pages, max_pages_per_seq, page_size)
-        alloc_fn, step_fn = allocate_pages_checked, decode_step_paged
-    # from_contiguous maps the prompt pages directly; flag a pool/table that
-    # was too small for the prompt itself.
-    init_over = jnp.logical_or(
-        cache.next_free > num_pages,
-        jnp.any(
-            (cache.length + page_size - 1) // page_size > max_pages_per_seq
-        ),
-    )
+        ppr = s_pad // page_size
+        maxp = max_pages_per_seq
 
-    if compress:
-        hh = prompt_hh
-    else:
+        def row_prefill(pools, xs):
+            embeds_r, len_r, ri = xs
+            dense_r = _dense_for(1)
+            logits_r, dense_r = _prefill_inline(
+                params, cfg, embeds_r[None], dense_r, len_r[None]
+            )
+            if kv_int8:
+                paged_r = from_contiguous_int8(dense_r, ppr, ppr, page_size)
+                row_vals = (paged_r.k_pages, paged_r.v_pages,
+                            paged_r.k_scale, paged_r.v_scale)
+            else:
+                paged_r = from_contiguous(dense_r, ppr, ppr, page_size)
+                row_vals = (paged_r.k_pages, paged_r.v_pages)
+            pools = tuple(
+                jax.lax.dynamic_update_slice(
+                    pool, val, (0, ri * maxp) + (0,) * (pool.ndim - 2)
+                )
+                for pool, val in zip(pools, row_vals)
+            )
+            return pools, logits_r[0]
+
+        L, hkv, dh = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
+        if kv_int8:
+            pools0 = (
+                jnp.zeros((L, num_pages, hkv, page_size, dh), jnp.int8),
+                jnp.zeros((L, num_pages, hkv, page_size, dh), jnp.int8),
+                jnp.zeros((L, num_pages, hkv, page_size), jnp.float32),
+                jnp.zeros((L, num_pages, hkv, page_size), jnp.float32),
+            )
+        else:
+            pools0 = (
+                jnp.zeros((L, num_pages, hkv, page_size, dh),
+                          prompt_embeds.dtype),
+                jnp.zeros((L, num_pages, hkv, page_size, dh),
+                          prompt_embeds.dtype),
+            )
+        pools, first_logits = jax.lax.scan(
+            row_prefill, pools0,
+            (prompt_embeds, seq_length.astype(jnp.int32),
+             jnp.arange(b, dtype=jnp.int32)),
+        )
+        table = (jnp.arange(b)[:, None] * maxp
+                 + jnp.arange(maxp)[None]).astype(jnp.int32)
+        if kv_int8:
+            from streamchat_tpu.models.paged_kv import decode_step_paged_int8
+
+            cache = PagedKVCacheInt8(
+                k_pages=pools[0], v_pages=pools[1],
+                k_scale=pools[2], v_scale=pools[3],
+                page_table=table,
+                length=seq_length.astype(jnp.int32),
+                next_free=jnp.asarray(num_pages, jnp.int32),
+            )
+            step_fn = decode_step_paged_int8
+        else:
+            cache = PagedKVCache(
+                k_pages=pools[0], v_pages=pools[1], page_table=table,
+                length=seq_length.astype(jnp.int32),
+                next_free=jnp.asarray(num_pages, jnp.int32),
+            )
+            step_fn = decode_step_paged
+        alloc_fn = None
+        cap = max_pages_per_seq * page_size
+        init_over = jnp.any(
+            seq_length.astype(jnp.int32) + max_new_tokens > cap
+        )
         hh = jnp.zeros((cfg.num_layers, cfg.num_kv_heads, 1), jnp.float32)
+        static_batched = True
+    else:
+        static_batched = False
+        dense = _dense_for(b)
+        first_logits, dense = _prefill_inline(
+            params, cfg, prompt_embeds, dense, seq_length
+        )
+        cap = max_pages_per_seq * page_size
+
+        if s_pad > cap:
+            # Prompt exceeds the KV budget: H2O-compress the dense prefill
+            # result BEFORE paging it (the reference's H2OKVCache likewise
+            # evicts right after the prompt forward, modeling_kv_cache.py:874).
+            if not compress:
+                raise ValueError(
+                    f"prompt ({s_pad} tokens) exceeds the page pool ({cap}) and "
+                    "H2O compression is disabled (hh_size=0)"
+                )
+            from streamchat_tpu.ops.kv_compress import compress_kv
+
+            hh0 = _seed_hh_from_prompt(dense)               # [L, Hkv, s_pad]
+            comp = jax.vmap(
+                lambda kl, vl, sl: compress_kv(
+                    kl, vl, sl, dense.length[0],
+                    hh_size=hh_size, recent_size=recent_size,
+                    sink_size=sink_size, merge=merge,
+                )
+            )
+            k2, v2, s2, kept = comp(dense.k[:, 0], dense.v[:, 0], hh0)
+            c = k2.shape[2]
+            small = KVCache.create(cfg, b, cap, dtype=dense.k.dtype)
+            dense = KVCache(
+                k=small.k.at[:, 0, :, :c].set(k2.astype(small.k.dtype)),
+                v=small.v.at[:, 0, :, :c].set(v2.astype(small.v.dtype)),
+                length=kept[:1].astype(jnp.int32),
+            )
+            prompt_hh = jnp.zeros(
+                (cfg.num_layers, cfg.num_kv_heads, cap), jnp.float32
+            ).at[:, :, :c].set(s2)
+        elif compress:
+            prompt_hh = jnp.zeros(
+                (cfg.num_layers, cfg.num_kv_heads, cap), jnp.float32
+            ).at[:, :, :s_pad].set(_seed_hh_from_prompt(dense))
+        if kv_int8:
+            from streamchat_tpu.models.paged_kv import (
+                allocate_pages_int8_checked,
+                decode_step_paged_int8,
+                from_contiguous_int8,
+            )
+
+            cache = from_contiguous_int8(dense, num_pages, max_pages_per_seq,
+                                         page_size)
+            alloc_fn, step_fn = allocate_pages_int8_checked, decode_step_paged_int8
+        else:
+            cache = from_contiguous(dense, num_pages, max_pages_per_seq, page_size)
+            alloc_fn, step_fn = allocate_pages_checked, decode_step_paged
+        # from_contiguous maps the prompt pages directly; flag a pool/table that
+        # was too small for the prompt itself.
+        init_over = jnp.logical_or(
+            cache.next_free > num_pages,
+            jnp.any(
+                (cache.length + page_size - 1) // page_size > max_pages_per_seq
+            ),
+        )
+
+        if compress:
+            hh = prompt_hh
+        else:
+            hh = jnp.zeros((cfg.num_layers, cfg.num_kv_heads, 1), jnp.float32)
 
     def is_eos(tok):
         hit = jnp.zeros(tok.shape, bool)
@@ -271,7 +375,12 @@ def _generate_paged_jit(
         cache, hh = st.cache, st.hh_score
         if compress:
             cache, hh = maybe_compress(cache, hh)
-        cache, ov = alloc_fn(cache, jnp.ones((b,), jnp.int32))
+        if static_batched:
+            # Partitioned pool: every row's pages are pre-mapped up to cap;
+            # no allocator in the loop (overflow was checked at init).
+            ov = jnp.zeros((), bool)
+        else:
+            cache, ov = alloc_fn(cache, jnp.ones((b,), jnp.int32))
         if compress:
             logits, cache, mass = decode_step_paged(
                 params, cfg, tok, cache, positions=st.pos, collect_mass=True
@@ -279,11 +388,12 @@ def _generate_paged_jit(
             hh = hh + mass[:, 0]
         else:
             # Single-row pools are identity-mapped by construction
-            # (from_contiguous + sequential allocs), unlocking the
+            # (from_contiguous + sequential allocs); batched partitioned
+            # pools are row-ordered by construction — both unlock the
             # sequential-pool kernel (8-page all-head blocks).
             logits, cache = step_fn(
                 params, cfg, tok, cache, positions=st.pos,
-                sequential_pages=(b == 1),
+                sequential_pages=(b == 1 or static_batched),
             )
         return PagedGenState(cache, hh, st.pos + 1, logits, out, st.step + 1,
                              done, key, st.over | ov)

@@ -167,12 +167,20 @@ def from_contiguous(
     num_pages: int,
     max_pages_per_seq: int,
     page_size: int = 128,
+    partitioned: bool = False,
 ) -> "PagedKVCache":
     """Import a prefilled contiguous decoder KVCache into pages.
 
     Prefill runs on the contiguous cache (dense writes are cheapest there);
     serving then continues page-granular. Lmax must be a multiple of
     page_size; each row's pages are claimed sequentially.
+
+    partitioned=True statically assigns row r the pool slice
+    [r*max_pages_per_seq, (r+1)*max_pages_per_seq) with the table FULLY
+    mapped up front (num_pages must equal B*max_pages_per_seq): decode then
+    needs no allocator calls, and the batched sequential-pool kernel can
+    compute page offsets from grid indices alone
+    (ops/paged_attention.paged_decode_attention_pallas_seq).
     """
     l, b, hkv, lmax, dh = cache.k.shape
     if lmax % page_size:
@@ -180,8 +188,31 @@ def from_contiguous(
     pages_per_row = lmax // page_size
     if pages_per_row > max_pages_per_seq:
         raise ValueError("max_pages_per_seq too small for the source cache")
+    if partitioned and num_pages != b * max_pages_per_seq:
+        raise ValueError(
+            f"partitioned pool needs num_pages == B*max_pages_per_seq "
+            f"({b}*{max_pages_per_seq}), got {num_pages}")
     if b * pages_per_row > num_pages:
         raise ValueError("page pool too small for the source cache")
+    if partitioned:
+        # [L, B, Hkv, Lmax, Dh] -> rows at stride max_pages_per_seq.
+        def repage(x):
+            x = x.reshape(l, b, hkv, pages_per_row, page_size, dh)
+            x = x.transpose(0, 1, 3, 2, 4, 5)
+            out = jnp.zeros((l, b, max_pages_per_seq, hkv, page_size, dh),
+                            x.dtype)
+            out = out.at[:, :, :pages_per_row].set(x)
+            return out.reshape(l, num_pages, hkv, page_size, dh)
+
+        k_pages = repage(cache.k)
+        v_pages = repage(cache.v)
+        table = (jnp.arange(b)[:, None] * max_pages_per_seq
+                 + jnp.arange(max_pages_per_seq)[None]).astype(jnp.int32)
+        return PagedKVCache(
+            k_pages=k_pages, v_pages=v_pages, page_table=table,
+            length=cache.length + 0,
+            next_free=jnp.asarray(num_pages, jnp.int32),
+        )
     # [L, B, Hkv, Lmax, Dh] -> [L, B*pages_per_row, Hkv, page_size, Dh]
     def repage(x):
         x = x.reshape(l, b, hkv, pages_per_row, page_size, dh)
@@ -263,12 +294,14 @@ def decode_step_paged(
             if collect_mass:
                 o, mass = o
                 masses.append(mass)
-        elif sequential_pages and b == 1:
-            # TPU, single row: the allocator maps pages in pool order
-            # (identity table — from_contiguous / sequential allocs /
-            # compress_paged), so the table is dropped and pages stream in
-            # 8-page all-head blocks. The per-(page, head) grid cost ~2/3
-            # of decode-attention time at 11.6k ctx (probe_kvint8.py).
+        elif sequential_pages:
+            # TPU, pool in row order: single rows are identity-mapped by
+            # construction (from_contiguous / sequential allocs /
+            # compress_paged); batched rows must be statically partitioned
+            # (from_contiguous(partitioned=True) — the caller asserts this).
+            # The table is dropped and pages stream in 8-page all-head
+            # blocks. The per-(page, head) grid cost ~2/3 of decode-
+            # attention time at 11.6k ctx (probe_kvint8.py).
             from streamchat_tpu.ops.paged_attention import (
                 paged_decode_attention_pallas_seq,
             )
@@ -464,6 +497,7 @@ def from_contiguous_int8(
     num_pages: int,
     max_pages_per_seq: int,
     page_size: int = 128,
+    partitioned: bool = False,
 ) -> "PagedKVCacheInt8":
     """Quantizing twin of from_contiguous (dense bf16 prefill -> int8 pages).
 
@@ -474,26 +508,42 @@ def from_contiguous_int8(
 
     `cache` may also be a decoder.Int8KVCache (already-quantized dense cache
     from a long kv_int8 chunked prefill): then this is a pure layout
-    shuffle — the values were quantized with the same _quantize_kv on write."""
+    shuffle — the values were quantized with the same _quantize_kv on write.
+
+    partitioned=True: see from_contiguous — static row slices, fully mapped
+    table, no allocator during decode."""
     l, b, hkv, lmax, dh = cache.k.shape
     if lmax % page_size:
         raise ValueError(f"Lmax={lmax} not a multiple of page_size={page_size}")
     pages_per_row = lmax // page_size
     if pages_per_row > max_pages_per_seq:
         raise ValueError("max_pages_per_seq too small for the source cache")
+    if partitioned and num_pages != b * max_pages_per_seq:
+        raise ValueError(
+            f"partitioned pool needs num_pages == B*max_pages_per_seq "
+            f"({b}*{max_pages_per_seq}), got {num_pages}")
     if b * pages_per_row > num_pages:
         raise ValueError("page pool too small for the source cache")
 
     pre_quantized = hasattr(cache, "k_s")
 
-    def pg(t, tail):
-        t = t.reshape((b, hkv, pages_per_row, page_size) + tail)
-        t = jnp.moveaxis(t, 2, 1)               # [B, ppr, Hkv, ps, ...]
-        out_shape = (num_pages, hkv, page_size) + tail
-        out = jnp.zeros(out_shape, t.dtype)
-        return out.at[: b * pages_per_row].set(
-            t.reshape((b * pages_per_row, hkv, page_size) + tail)
-        )
+    if partitioned:
+        def pg(t, tail):
+            t = t.reshape((b, hkv, pages_per_row, page_size) + tail)
+            t = jnp.moveaxis(t, 2, 1)           # [B, ppr, Hkv, ps, ...]
+            out = jnp.zeros(
+                (b, max_pages_per_seq, hkv, page_size) + tail, t.dtype)
+            out = out.at[:, :pages_per_row].set(t)
+            return out.reshape((num_pages, hkv, page_size) + tail)
+    else:
+        def pg(t, tail):
+            t = t.reshape((b, hkv, pages_per_row, page_size) + tail)
+            t = jnp.moveaxis(t, 2, 1)               # [B, ppr, Hkv, ps, ...]
+            out_shape = (num_pages, hkv, page_size) + tail
+            out = jnp.zeros(out_shape, t.dtype)
+            return out.at[: b * pages_per_row].set(
+                t.reshape((b * pages_per_row, hkv, page_size) + tail)
+            )
 
     def one_layer(kv_layer):
         if pre_quantized:
@@ -510,15 +560,22 @@ def from_contiguous_int8(
         else (cache.k, cache.v)
     )
     k_i8, k_s, v_i8, v_s = jax.lax.map(one_layer, src)
-    table = jnp.full((b, max_pages_per_seq), -1, jnp.int32)
-    row_pages = (
-        jnp.arange(b)[:, None] * pages_per_row + jnp.arange(pages_per_row)[None]
-    )
-    table = table.at[:, :pages_per_row].set(row_pages)
+    if partitioned:
+        table = (jnp.arange(b)[:, None] * max_pages_per_seq
+                 + jnp.arange(max_pages_per_seq)[None]).astype(jnp.int32)
+        next_free = jnp.asarray(num_pages, jnp.int32)
+    else:
+        table = jnp.full((b, max_pages_per_seq), -1, jnp.int32)
+        row_pages = (
+            jnp.arange(b)[:, None] * pages_per_row
+            + jnp.arange(pages_per_row)[None]
+        )
+        table = table.at[:, :pages_per_row].set(row_pages)
+        next_free = jnp.asarray(b * pages_per_row, jnp.int32)
     return PagedKVCacheInt8(
         k_pages=k_i8, v_pages=v_i8, k_scale=k_s, v_scale=v_s,
         page_table=table, length=cache.length + 0,
-        next_free=jnp.asarray(b * pages_per_row, jnp.int32),
+        next_free=next_free,
     )
 
 
@@ -647,9 +704,10 @@ def decode_step_paged_int8(
         q = decoder.rope(q, positions, cfg.rope_theta)
         k = decoder.rope(k, positions, cfg.rope_theta)
         cache = append_token_kv_int8(cache, jnp.asarray(i), k[:, :, 0], v[:, :, 0])
-        if jax.default_backend() == "tpu" and sequential_pages and b == 1:
-            # Identity-table single-row pool: 8-page all-head blocks, static
-            # per-head scale slices (no one-hot) — see decode_step_paged.
+        if jax.default_backend() == "tpu" and sequential_pages:
+            # Identity/partitioned row-order pool: 8-page all-head blocks,
+            # static per-head scale slices (no one-hot) — see
+            # decode_step_paged.
             from streamchat_tpu.ops.paged_attention import (
                 paged_decode_attention_pallas_seq_int8,
             )

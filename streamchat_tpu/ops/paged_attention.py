@@ -166,11 +166,11 @@ def paged_decode_attention_pallas(
 
 
 def _seq_decode_kernel(
-    length_ref,           # [1] int32 scalar prefetch
-    q_ref,                # [hkv, gpad, d]
-    k_ref,                # [pb, hkv, ps, d] (pool pages [j*pb, (j+1)*pb))
+    length_ref,           # [B] int32 scalar prefetch
+    q_ref,                # [1, hkv, gpad, d] (row bi's query group)
+    k_ref,                # [pb, hkv, ps, d] (pool pages of row bi, block j)
     v_ref,
-    o_ref,                # [hkv, gpad, d]
+    o_ref,                # [1, hkv, gpad, d]
     m_scratch,            # [hkv, gpad, 128] f32
     l_scratch,
     acc_scratch,          # [hkv, gpad, d] f32
@@ -187,8 +187,14 @@ def _seq_decode_kernel(
     python loop) — vs the per-(page, head) grid of _paged_decode_kernel.
     At 7B/11.6k ctx this is 12 steps instead of 368; the per-step grid
     overhead was ~2/3 of measured decode attention time
-    (scripts/probe_kvint8.py, round 3)."""
-    j = pl.program_id(0)
+    (scripts/probe_kvint8.py, round 3).
+
+    Batched rows (grid (B, nb), j innermost): each row owns the STATICALLY
+    PARTITIONED pool slice [bi*row_pages, (bi+1)*row_pages) — the BlockSpec
+    index maps compute block offsets from bi directly, no page table. The
+    online-softmax scratch resets at each row's j==0."""
+    bi = pl.program_id(0)
+    j = pl.program_id(1)
     span = pages_per_block * page_size
 
     @pl.when(j == 0)
@@ -197,12 +203,12 @@ def _seq_decode_kernel(
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
-    length = length_ref[0]
+    length = length_ref[bi]
 
     @pl.when(j * span < length)
     def _run():
         for h in range(num_kv_heads):
-            q = q_ref[h]                                       # [gpad, d]
+            q = q_ref[0, h]                                    # [gpad, d]
             k = k_ref[:, h].reshape(span, -1)                  # [span, d]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
@@ -229,17 +235,17 @@ def _seq_decode_kernel(
         for h in range(num_kv_heads):
             l = l_scratch[h][:, :1]
             l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-            o_ref[h] = (acc_scratch[h] * l_inv).astype(o_ref.dtype)
+            o_ref[0, h] = (acc_scratch[h] * l_inv).astype(o_ref.dtype)
 
 
 def _seq_decode_int8_kernel(
-    length_ref,           # [1] int32 scalar prefetch
-    q_ref,                # [hkv, gpad, d]
+    length_ref,           # [B] int32 scalar prefetch
+    q_ref,                # [1, hkv, gpad, d] (row bi's query group)
     k_ref,                # [pb, hkv, ps, d] int8
     v_ref,
     ks_ref,               # [hkv, span] f32 (head-major, page-dim flattened)
     vs_ref,
-    o_ref,
+    o_ref,                # [1, hkv, gpad, d]
     m_scratch,
     l_scratch,
     acc_scratch,
@@ -259,8 +265,10 @@ def _seq_decode_int8_kernel(
     pages are only ever CAST to bf16 (never element-wise dequantized through
     an f32 [span, d] intermediate, which cost ~6 ms/step at 7B/11.6k ctx).
     Scales arrive flattened [hkv, num_pages*ps] so the row slice is already
-    lane-shaped [1, span]."""
-    j = pl.program_id(0)
+    lane-shaped [1, span]. Batched rows work exactly as in _seq_decode_kernel
+    (grid (B, nb), statically partitioned pool, scratch reset at j==0)."""
+    bi = pl.program_id(0)
+    j = pl.program_id(1)
     span = pages_per_block * page_size
 
     @pl.when(j == 0)
@@ -269,12 +277,12 @@ def _seq_decode_int8_kernel(
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
-    length = length_ref[0]
+    length = length_ref[bi]
 
     @pl.when(j * span < length)
     def _run():
         for h in range(num_kv_heads):
-            q = q_ref[h]
+            q = q_ref[0, h]
             k = k_ref[:, h].astype(q.dtype).reshape(span, -1)   # cast only
             v = v_ref[:, h].astype(q.dtype).reshape(span, -1)
             ks = ks_ref[h : h + 1]                              # [1, span]
@@ -304,39 +312,60 @@ def _seq_decode_int8_kernel(
         for h in range(num_kv_heads):
             l = l_scratch[h][:, :1]
             l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-            o_ref[h] = (acc_scratch[h] * l_inv).astype(o_ref.dtype)
+            o_ref[0, h] = (acc_scratch[h] * l_inv).astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit, static_argnames=("sm_scale", "pages_per_block", "interpret")
 )
 def paged_decode_attention_pallas_seq(
-    q: jnp.ndarray,            # [1, Hq, 1, Dh]
+    q: jnp.ndarray,            # [B, Hq, 1, Dh]
     k_pages: jnp.ndarray,      # [num_pages, Hkv, page_size, Dh] (one layer)
     v_pages: jnp.ndarray,
-    length: jnp.ndarray,       # [1]
+    length: jnp.ndarray,       # [B]
     sm_scale: float | None = None,
     pages_per_block: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Decode attention for a SEQUENTIAL pool (batch 1, identity page table).
+    """Decode attention for a SEQUENTIAL pool (identity/partitioned table).
 
-    generate_paged's single-row caches are identity-mapped by construction
-    (from_contiguous + the sequential allocator + compress_paged all map row
-    pages to pool order), so the table is dropped and pages stream in
-    pages_per_block-page blocks with all kv heads per grid step.
+    Single row (B=1): generate_paged's single-row caches are identity-mapped
+    by construction (from_contiguous + the sequential allocator +
+    compress_paged all map row pages to pool order), so the table is dropped
+    and pages stream in pages_per_block-page blocks with all kv heads per
+    grid step.
+
+    Batched rows (B>1): the pool must be STATICALLY PARTITIONED — row bi
+    owns pool pages [bi*row_pages, (bi+1)*row_pages), row_pages =
+    num_pages // B (from_contiguous(..., partitioned=True)). Block offsets
+    come straight from the grid indices; amortizes the decode weight read
+    across rows (the batched-captioning serving path).
     """
     b, hq, _, d = q.shape
-    assert b == 1, "sequential-pool kernel is batch-1 only"
     num_pages, hkv, ps, _ = k_pages.shape
+    if num_pages % b:
+        raise ValueError(f"pool of {num_pages} pages not divisible into "
+                         f"{b} partitioned rows")
+    row_pages = num_pages // b
+    if b == 1:
+        # Ceil grid: the tail block may read past the pool (Mosaic pads the
+        # trailing block); the length mask discards those columns.
+        nb = -(-row_pages // pages_per_block)
+    else:
+        # Batched partitioned rows: block offsets are bi*nb + j, so each
+        # row's slice must hold exactly nb full blocks.
+        if row_pages % pages_per_block:
+            raise ValueError(
+                f"partitioned rows of {row_pages} pages must be a multiple "
+                f"of pages_per_block={pages_per_block}")
+        nb = row_pages // pages_per_block
     if sm_scale is None:
         sm_scale = d ** -0.5
     g = hq // hkv
     gpad = max(8, -(-g // 8) * 8)
-    qg = q.reshape(hkv, g, d)
+    qg = q.reshape(b, hkv, g, d)
     if gpad > g:
-        qg = jnp.pad(qg, ((0, 0), (0, gpad - g), (0, 0)))
-    nb = -(-num_pages // pages_per_block)
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gpad - g), (0, 0)))
     kernel = functools.partial(
         _seq_decode_kernel,
         sm_scale=sm_scale, page_size=ps,
@@ -344,15 +373,16 @@ def paged_decode_attention_pallas_seq(
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nb,),
+        grid=(b, nb),
         in_specs=[
-            pl.BlockSpec((hkv, gpad, d), lambda j, length: (0, 0, 0)),
+            pl.BlockSpec((1, hkv, gpad, d), lambda bi, j, length: (bi, 0, 0, 0)),
             pl.BlockSpec((pages_per_block, hkv, ps, d),
-                         lambda j, length: (j, 0, 0, 0)),
+                         lambda bi, j, length, _nb=nb: (bi * _nb + j, 0, 0, 0)),
             pl.BlockSpec((pages_per_block, hkv, ps, d),
-                         lambda j, length: (j, 0, 0, 0)),
+                         lambda bi, j, length, _nb=nb: (bi * _nb + j, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((hkv, gpad, d), lambda j, length: (0, 0, 0)),
+        out_specs=pl.BlockSpec((1, hkv, gpad, d),
+                               lambda bi, j, length: (bi, 0, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((hkv, gpad, 128), jnp.float32),
             pltpu.VMEM((hkv, gpad, 128), jnp.float32),
@@ -362,46 +392,63 @@ def paged_decode_attention_pallas_seq(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((hkv, gpad, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, gpad, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(length.astype(jnp.int32), qg, k_pages, v_pages)
-    return out[:, :g].reshape(1, hq, 1, d)
+    return out[:, :, :g].reshape(b, hq, 1, d)
 
 
 @functools.partial(
     jax.jit, static_argnames=("sm_scale", "pages_per_block", "interpret")
 )
 def paged_decode_attention_pallas_seq_int8(
-    q: jnp.ndarray,            # [1, Hq, 1, Dh]
+    q: jnp.ndarray,            # [B, Hq, 1, Dh]
     k_pages: jnp.ndarray,      # [num_pages, Hkv, page_size, Dh] int8
     v_pages: jnp.ndarray,
     k_scale: jnp.ndarray,      # [num_pages, Hkv, page_size] f32
     v_scale: jnp.ndarray,
-    length: jnp.ndarray,
+    length: jnp.ndarray,       # [B]
     sm_scale: float | None = None,
     pages_per_block: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Int8-cache twin of paged_decode_attention_pallas_seq."""
+    """Int8-cache twin of paged_decode_attention_pallas_seq (incl. batched
+    partitioned-pool rows)."""
     b, hq, _, d = q.shape
-    assert b == 1, "sequential-pool kernel is batch-1 only"
     num_pages, hkv, ps, _ = k_pages.shape
+    if num_pages % b:
+        raise ValueError(f"pool of {num_pages} pages not divisible into "
+                         f"{b} partitioned rows")
+    row_pages = num_pages // b
+    if b == 1:
+        # Ceil grid: the tail block may read past the pool (Mosaic pads the
+        # trailing block); the length mask discards those columns.
+        nb = -(-row_pages // pages_per_block)
+    else:
+        # Batched partitioned rows: block offsets are bi*nb + j, so each
+        # row's slice must hold exactly nb full blocks.
+        if row_pages % pages_per_block:
+            raise ValueError(
+                f"partitioned rows of {row_pages} pages must be a multiple "
+                f"of pages_per_block={pages_per_block}")
+        nb = row_pages // pages_per_block
     if sm_scale is None:
         sm_scale = d ** -0.5
     g = hq // hkv
     gpad = max(8, -(-g // 8) * 8)
-    qg = q.reshape(hkv, g, d)
+    qg = q.reshape(b, hkv, g, d)
     if gpad > g:
-        qg = jnp.pad(qg, ((0, 0), (0, gpad - g), (0, 0)))
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gpad - g), (0, 0)))
     # Head-major flattened scales: [num_pages, hkv, ps] ->
     # [hkv, num_pages*ps] so a per-head row slice is already the lane-shaped
     # [1, span] the kernel multiplies s/p by (~190 KB transpose per step).
+    # Rows' page regions are contiguous, so a row's block j lives at
+    # flattened block index bi*nb + j.
     k_scale_hm = k_scale.transpose(1, 0, 2).reshape(hkv, num_pages * ps)
     v_scale_hm = v_scale.transpose(1, 0, 2).reshape(hkv, num_pages * ps)
-    nb = -(-num_pages // pages_per_block)
     span = pages_per_block * ps
     kernel = functools.partial(
         _seq_decode_int8_kernel,
@@ -410,17 +457,20 @@ def paged_decode_attention_pallas_seq_int8(
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nb,),
+        grid=(b, nb),
         in_specs=[
-            pl.BlockSpec((hkv, gpad, d), lambda j, length: (0, 0, 0)),
+            pl.BlockSpec((1, hkv, gpad, d), lambda bi, j, length: (bi, 0, 0, 0)),
             pl.BlockSpec((pages_per_block, hkv, ps, d),
-                         lambda j, length: (j, 0, 0, 0)),
+                         lambda bi, j, length, _nb=nb: (bi * _nb + j, 0, 0, 0)),
             pl.BlockSpec((pages_per_block, hkv, ps, d),
-                         lambda j, length: (j, 0, 0, 0)),
-            pl.BlockSpec((hkv, span), lambda j, length: (0, j)),
-            pl.BlockSpec((hkv, span), lambda j, length: (0, j)),
+                         lambda bi, j, length, _nb=nb: (bi * _nb + j, 0, 0, 0)),
+            pl.BlockSpec((hkv, span),
+                         lambda bi, j, length, _nb=nb: (0, bi * _nb + j)),
+            pl.BlockSpec((hkv, span),
+                         lambda bi, j, length, _nb=nb: (0, bi * _nb + j)),
         ],
-        out_specs=pl.BlockSpec((hkv, gpad, d), lambda j, length: (0, 0, 0)),
+        out_specs=pl.BlockSpec((1, hkv, gpad, d),
+                               lambda bi, j, length: (bi, 0, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((hkv, gpad, 128), jnp.float32),
             pltpu.VMEM((hkv, gpad, 128), jnp.float32),
@@ -430,13 +480,13 @@ def paged_decode_attention_pallas_seq_int8(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((hkv, gpad, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, gpad, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(length.astype(jnp.int32), qg, k_pages, v_pages, k_scale_hm, v_scale_hm)
-    return out[:, :g].reshape(1, hq, 1, d)
+    return out[:, :, :g].reshape(b, hq, 1, d)
 
 
 def _paged_decode_int8_kernel(

@@ -621,3 +621,180 @@ class TestInt8DensePrefill:
         match = np.mean(np.asarray(t_full) == np.asarray(t_q))
         assert match >= 0.7, f"only {match:.0%} tokens match bf16 cache"
         assert used, "kv_int8 long prompt did not take the Int8KVCache prefill route"
+
+
+class TestBatchedPartitionedPool:
+    """Statically partitioned batched pools — the batched-captioning serving
+    path (models/generate_paged.py static_partition): row r owns pool slice
+    [r*maxp, (r+1)*maxp) with a fully-mapped table, no allocator in the
+    decode loop, and the batched sequential-pool kernels
+    (ops/paged_attention.paged_decode_attention_pallas_seq[_int8])."""
+
+    def _dense(self, cfg, lengths, lmax, seed=0):
+        """Random prefilled dense cache [L, B, Hkv, Lmax, Dh] (f32)."""
+        from streamchat_tpu.models.decoder import KVCache
+
+        b = len(lengths)
+        l, hkv, dh = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
+        k = jax.random.normal(jax.random.key(seed), (l, b, hkv, lmax, dh))
+        v = jax.random.normal(jax.random.key(seed + 1), (l, b, hkv, lmax, dh))
+        # Zero slots past each row's length (prefill would leave zeros too).
+        pos = jnp.arange(lmax)[None, None, None, :, None]
+        mask = pos < jnp.asarray(lengths)[None, :, None, None, None]
+        return KVCache(k=k * mask, v=v * mask,
+                       length=jnp.asarray(lengths, jnp.int32))
+
+    def test_from_contiguous_partitioned_layout(self, cfg):
+        from streamchat_tpu.models.paged_kv import from_contiguous
+
+        lengths, lmax, ps, maxp = [32, 17], 32, 16, 4
+        dense = self._dense(cfg, lengths, lmax)
+        paged = from_contiguous(dense, num_pages=2 * maxp,
+                                max_pages_per_seq=maxp, page_size=ps,
+                                partitioned=True)
+        t = np.asarray(paged.page_table)
+        np.testing.assert_array_equal(t[0], [0, 1, 2, 3])
+        np.testing.assert_array_equal(t[1], [4, 5, 6, 7])
+        assert int(paged.next_free) == 8
+        # Row 1's first page sits at pool slot maxp and holds its tokens.
+        np.testing.assert_array_equal(
+            np.asarray(paged.k_pages[:, maxp]),
+            np.asarray(dense.k[:, 1, :, :ps]),
+        )
+        # Unused tail pages of a partitioned row are zero.
+        assert float(jnp.abs(paged.k_pages[:, maxp + 2:2 * maxp]).max()) == 0.0
+
+    def test_partitioned_gather_matches_contiguous(self, cfg, key):
+        from streamchat_tpu.models.paged_kv import from_contiguous
+
+        lengths, lmax, ps, maxp = [37, 12], 64, 16, 4
+        dense = self._dense(cfg, lengths, lmax, seed=10)
+        paged = from_contiguous(dense, num_pages=2 * maxp,
+                                max_pages_per_seq=maxp, page_size=ps,
+                                partitioned=True)
+        q = jax.random.normal(key, (2, cfg.num_heads, 1, cfg.head_dim))
+        length = jnp.asarray(lengths, jnp.int32)
+        out = paged_decode_attention(
+            q, paged.k_pages[0], paged.v_pages[0], paged.page_table, length
+        )
+        ref = decode_attention(q, dense.k[0], dense.v[0], length)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_seq_kernel_batched_matches_xla(self, cfg, key):
+        """Batched (b=2) partitioned-pool seq kernel == XLA gather path,
+        ragged lengths (one row page-aligned, one mid-page)."""
+        from streamchat_tpu.models.paged_kv import from_contiguous
+        from streamchat_tpu.ops.paged_attention import (
+            paged_decode_attention_pallas_seq,
+        )
+
+        lengths, lmax, ps, maxp = [37, 12], 64, 16, 4
+        dense = self._dense(cfg, lengths, lmax, seed=20)
+        paged = from_contiguous(dense, num_pages=2 * maxp,
+                                max_pages_per_seq=maxp, page_size=ps,
+                                partitioned=True)
+        q = jax.random.normal(key, (2, cfg.num_heads, 1, cfg.head_dim))
+        length = jnp.asarray(lengths, jnp.int32)
+        ref = paged_decode_attention(
+            q, paged.k_pages[0], paged.v_pages[0], paged.page_table, length
+        )
+        out = paged_decode_attention_pallas_seq(
+            q, paged.k_pages[0], paged.v_pages[0], length,
+            pages_per_block=2, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
+    def test_seq_kernel_batched_rejects_ragged_partition(self, cfg, key):
+        """b>1 requires each row slice to hold whole kernel blocks."""
+        from streamchat_tpu.ops.paged_attention import (
+            paged_decode_attention_pallas_seq,
+        )
+
+        hkv, dh, ps = cfg.num_kv_heads, cfg.head_dim, 16
+        q = jax.random.normal(key, (2, cfg.num_heads, 1, dh))
+        pages = jnp.zeros((6, hkv, ps, dh))          # 3 pages/row, pb=2
+        with pytest.raises(ValueError, match="multiple"):
+            paged_decode_attention_pallas_seq(
+                q, pages, pages, jnp.asarray([3, 3], jnp.int32),
+                pages_per_block=2, interpret=True,
+            )
+
+    def test_seq_int8_kernel_batched_matches_xla(self, cfg, key):
+        from streamchat_tpu.models.paged_kv import (
+            from_contiguous_int8,
+            paged_decode_attention_int8,
+        )
+        from streamchat_tpu.ops.paged_attention import (
+            paged_decode_attention_pallas_seq_int8,
+        )
+
+        lengths, lmax, ps, maxp = [37, 12], 64, 16, 4
+        dense = self._dense(cfg, lengths, lmax, seed=30)
+        paged = from_contiguous_int8(dense, num_pages=2 * maxp,
+                                     max_pages_per_seq=maxp, page_size=ps,
+                                     partitioned=True)
+        q = jax.random.normal(key, (2, cfg.num_heads, 1, cfg.head_dim))
+        length = jnp.asarray(lengths, jnp.int32)
+        ref = paged_decode_attention_int8(
+            q, paged.k_pages[0], paged.v_pages[0],
+            paged.k_scale[0], paged.v_scale[0], paged.page_table, length,
+        )
+        out = paged_decode_attention_pallas_seq_int8(
+            q, paged.k_pages[0], paged.v_pages[0],
+            paged.k_scale[0], paged.v_scale[0], length,
+            pages_per_block=2, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4)
+
+    def test_batched_generate_token_exact_vs_contiguous(self, cfg, key):
+        """b=3 ragged greedy batch through the static-partitioned paged path
+        == the contiguous batched generate, token-exact."""
+        from streamchat_tpu.models import decoder
+        from streamchat_tpu.models.generate import generate
+        from streamchat_tpu.models.generate_paged import generate_paged
+
+        params = decoder.init(key, cfg, jnp.float32)
+        s = 24
+        ids = jax.random.randint(jax.random.key(7), (3, s), 0, cfg.vocab_size)
+        embeds = decoder.embed_tokens(params, ids)
+        lengths = jnp.asarray([21, 13, 24], jnp.int32)
+        kw = dict(max_new_tokens=8, temperature=0.0)
+        toks_c, count_c = generate(
+            params, cfg, embeds, lengths, jax.random.key(0), **kw
+        )
+        toks_p, count_p = generate_paged(
+            params, cfg, embeds, lengths, jax.random.key(0),
+            page_size=8, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(toks_c), np.asarray(toks_p))
+        np.testing.assert_array_equal(np.asarray(count_c), np.asarray(count_p))
+
+    def test_batched_generate_kv_int8_tracks_per_row(self, cfg, key):
+        """Batched kv_int8 partitioned decode ~matches independent per-row
+        kv_int8 runs (identical quantization; batching changes only XLA
+        tiling)."""
+        from streamchat_tpu.models import decoder
+        from streamchat_tpu.models.generate_paged import generate_paged
+
+        params = decoder.init(key, cfg, jnp.float32)
+        s = 24
+        ids = jax.random.randint(jax.random.key(9), (2, s), 0, cfg.vocab_size)
+        embeds = decoder.embed_tokens(params, ids)
+        lengths = jnp.asarray([21, 24], jnp.int32)
+        kw = dict(max_new_tokens=8, temperature=0.0, page_size=8,
+                  kv_int8=True)
+        toks_b, _ = generate_paged(
+            params, cfg, embeds, lengths, jax.random.key(0), **kw
+        )
+        rows = []
+        for r in range(2):
+            t, _ = generate_paged(
+                params, cfg, embeds[r:r + 1], lengths[r:r + 1],
+                jax.random.key(0), **kw
+            )
+            rows.append(np.asarray(t)[0])
+        match = np.mean(np.asarray(toks_b) == np.stack(rows))
+        assert match >= 0.75, f"only {match:.0%} tokens match per-row runs"
