@@ -55,6 +55,10 @@ def parse_args(argv=None):
                         "measured no win at chunk-20's 11.6k-token prompts "
                         "— prefill dominates — and its ~4 GB transient "
                         "OOMs segment 2 alongside the resident programs)")
+    p.add_argument("--int4", action="store_true",
+                   help="group-128 int4 decoder weights (lm_head int8): "
+                        "~half int8's per-token decode cost and ~3.9 GB "
+                        "freed HBM at 7B (ops/quant.py bits=4)")
     p.add_argument("--kv_int8", action="store_true",
                    help="int8 KV pages. Needed for chunk_size=40's 23k "
                         "contexts; at chunk 20 bf16 KV fits and decodes "
@@ -157,11 +161,12 @@ def stage1_pipeline(report, args):
     dec_cfg = DecoderConfig.qwen2_7b()
     dec_params = dec_mod.init(k1, dec_cfg, jnp.bfloat16)
     jax.block_until_ready(dec_params["embed"])
-    log(f"  init {time.time()-t0:.1f}s; quantizing to int8 (destructive) ...")
+    bits = 4 if args.int4 else 8
+    log(f"  init {time.time()-t0:.1f}s; quantizing to int{bits} (destructive) ...")
     t0 = time.time()
     dec_params = quantize_decoder_params(dec_params, destructive=True,
-                                         quantize_embed=True)
-    jax.block_until_ready(dec_params["layers"][0]["attn"]["q"]["w_i8"])
+                                         quantize_embed=True, bits=bits)
+    jax.block_until_ready(dec_params["layers"][0]["attn"]["q"])
     gc.collect()
     report["quantize_7b_s"] = round(time.time() - t0, 1)
     log_hbm("after int8 7B")
@@ -442,7 +447,9 @@ def main():
         "description": "full 3-stage driver at real model geometry "
                        "(random weights), one v5e chip",
         "geometry": {
-            "longva_decoder": "Qwen2-7B (28L, d3584, int8 weight-only)",
+            "longva_decoder": "Qwen2-7B (28L, d3584, "
+                              + ("int4 group-128" if args.int4 else "int8")
+                              + " weight-only)",
             "vision_tower": "CLIP ViT-L/14-336 (bf16, fused Pallas layers)",
             "judge": "LLaMA-3-8B (32L, d4096, int8 weight-only)",
             "tree_embedder": "BERT-large geometry (colbert CLS)",

@@ -148,12 +148,19 @@ def init(key: jax.Array, cfg: DecoderConfig, dtype=jnp.bfloat16) -> Params:
 
 
 def _proj(x, p):
-    from streamchat_tpu.ops.quant import qmatmul
+    from streamchat_tpu.ops.quant import qmatmul, qmatmul_int4
 
-    # p is either {"w": [in,out](, "b")} or the int8 weight-only form
-    # {"w_i8": int8, "scale": f32(, "b")} (ops/quant.py) — decode reads the
-    # full parameter set per token, so int8 halves the HBM-roofline latency.
-    y = qmatmul(x, p) if "w_i8" in p else x @ p["w"]
+    # p is {"w": [in,out](, "b")}, the int8 weight-only form
+    # {"w_i8": int8, "scale": f32(, "b")}, or the group-128 int4 form
+    # {"w_i4": int4, "scale": f32[g,out](, "b")} (ops/quant.py) — decode
+    # reads the full parameter set per token, so narrower weight storage
+    # directly divides the HBM-roofline latency.
+    if "w_i4" in p:
+        y = qmatmul_int4(x, p)
+    elif "w_i8" in p:
+        y = qmatmul(x, p)
+    else:
+        y = x @ p["w"]
     if "b" in p:
         y = y + p["b"]
     return y
@@ -342,6 +349,10 @@ def logits_from_hidden(params: Params, cfg: DecoderConfig, hidden: jnp.ndarray) 
             "error through the logits; quantize_embed is for untied models"
         )
     head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
+    if isinstance(head, dict) and "w_i4" in head:
+        from streamchat_tpu.ops.quant import qmatmul_int4
+
+        return qmatmul_int4(hidden.astype(jnp.float32), head)
     if is_quantized(head):
         y = jax.lax.dot_general(
             hidden.astype(jnp.float32),

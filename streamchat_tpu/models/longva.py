@@ -143,25 +143,28 @@ class LongVA:
             self.vit_params, vit_pspecs(self.vit_cfg.num_layers), mesh
         )
         self.proj_params = shard_pytree(self.proj_params, projector_pspecs(), mesh)
-        quantized = "w_i8" in self.dec_params["layers"][0]["attn"]["q"]
+        q0 = self.dec_params["layers"][0]["attn"]["q"]
+        quantized = "int4" if "w_i4" in q0 else "w_i8" in q0
         self.dec_params = shard_pytree(
             self.dec_params, decoder_pspecs(self.dec_cfg, quantized=quantized), mesh
         )
         self._text_cache.clear()    # cached embeds hold pre-shard placement
         return self
 
-    def quantize(self, quantize_embed: bool = False) -> "LongVA":
-        """Switch the decoder to int8 weight-only storage (ops/quant.py).
+    def quantize(self, quantize_embed: bool = False, bits: int = 8) -> "LongVA":
+        """Switch the decoder to int8/int4 weight-only storage (ops/quant.py).
 
-        Halves decode's per-token HBM traffic — the measured v5e decode is
-        weight-bandwidth bound, so this is ~2x single-stream decode latency.
+        Decode is weight-bandwidth bound on this hardware, so narrower
+        storage directly divides single-stream decode latency: int8 halves
+        the bf16 cost; bits=4 (group-128 RTN, lm_head kept int8) roughly
+        halves it again at an accuracy trade the caller opts into.
         The ViT/projector stay bf16 (ingest is activation-bound, CLAUDE.md).
         quantize_embed also stores the token table as int8 rows (pure HBM
         saving; Qwen2's table alone is 1.09 GB bf16)."""
         from streamchat_tpu.ops.quant import quantize_decoder_params
 
         self.dec_params = quantize_decoder_params(
-            self.dec_params, quantize_embed=quantize_embed
+            self.dec_params, quantize_embed=quantize_embed, bits=bits
         )
         self._text_cache.clear()    # embedding table may have changed
         return self

@@ -49,17 +49,18 @@ class TextLM:
         if mesh is None:
             n = len(jax.devices())
             mesh = make_mesh(*best_mesh_shape(n, kv_heads=self.cfg.num_kv_heads))
-        quantized = "w_i8" in self.params["layers"][0]["attn"]["q"]
+        q0 = self.params["layers"][0]["attn"]["q"]
+        quantized = "int4" if "w_i4" in q0 else "w_i8" in q0
         self.params = shard_pytree(
             self.params, decoder_pspecs(self.cfg, quantized=quantized), mesh
         )
         return self
 
-    def quantize(self) -> "TextLM":
-        """Int8 weight-only decoder storage (see LongVA.quantize)."""
+    def quantize(self, bits: int = 8) -> "TextLM":
+        """Int8/int4 weight-only decoder storage (see LongVA.quantize)."""
         from streamchat_tpu.ops.quant import quantize_decoder_params
 
-        self.params = quantize_decoder_params(self.params)
+        self.params = quantize_decoder_params(self.params, bits=bits)
         return self
 
     def generate(

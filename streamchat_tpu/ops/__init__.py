@@ -28,8 +28,10 @@ from streamchat_tpu.ops.pooling import compress_spatial_features, pool_patch_gri
 from streamchat_tpu.ops.quant import (
     matmul_any,
     qmatmul,
+    qmatmul_int4,
     quantize_decoder_params,
     quantize_weight,
+    quantize_weight_int4,
 )
 from streamchat_tpu.ops.ring_attention import (
     ring_attention,
@@ -67,8 +69,10 @@ __all__ = [
     "paged_decode_attention_pallas_seq_int8",
     "matmul_any",
     "qmatmul",
+    "qmatmul_int4",
     "quantize_decoder_params",
     "quantize_weight",
+    "quantize_weight_int4",
     "ring_attention",
     "stripe_ring_attention",
     "zigzag_ring_attention",

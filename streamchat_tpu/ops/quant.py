@@ -41,7 +41,80 @@ def dequantize_weight(q: Dict[str, jnp.ndarray], dtype=jnp.bfloat16) -> jnp.ndar
 
 
 def is_quantized(p: Any) -> bool:
-    return isinstance(p, dict) and "w_i8" in p
+    return isinstance(p, dict) and ("w_i8" in p or "w_i4" in p)
+
+
+def quantize_weight_int4(
+    w: jnp.ndarray, group_size: int = 128
+) -> Dict[str, jnp.ndarray]:
+    """W [in, out] -> {"w_i4": int4 [in, out], "scale": f32 [in/gs, out]}.
+
+    Symmetric round-to-nearest int4 with per-(input-group, output-channel)
+    scales: group g of 128 input rows shares scale[g, out]. Per-channel int4
+    (the int8 scheme) is too coarse at 4 bits; 128-groups are the standard
+    weight-only granularity. XLA stores s4 packed two-per-byte in HBM, so a
+    quantized matrix costs in*out/2 bytes + in/gs*out*4 scale bytes
+    (~6.3%% overhead at gs=128).
+    """
+    kin, out = w.shape
+    if kin % group_size:
+        raise ValueError(f"in-dim {kin} not divisible by group {group_size}")
+    g = kin // group_size
+    w32 = w.astype(jnp.float32).reshape(g, group_size, out)
+    amax = jnp.max(jnp.abs(w32), axis=1)                 # [g, out]
+    scale = jnp.where(amax > 0, amax / 7.0, 1.0)
+    w_i4 = jnp.clip(
+        jnp.round(w32 / scale[:, None, :]), -7, 7
+    ).astype(jnp.int4).reshape(kin, out)
+    return {"w_i4": w_i4, "scale": scale}
+
+
+def dequantize_weight_int4(
+    q: Dict[str, jnp.ndarray], dtype=jnp.bfloat16
+) -> jnp.ndarray:
+    """Materialize W ≈ W_i4 * scale[group] -> [in, out]."""
+    w_i4, scale = q["w_i4"], q["scale"]
+    kin, out = w_i4.shape
+    g = scale.shape[0]
+    w = w_i4.astype(jnp.float32).reshape(g, kin // g, out) * scale[:, None, :]
+    return w.reshape(kin, out).astype(dtype)
+
+
+def qmatmul_int4(x: jnp.ndarray, q: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """x [..., in] @ W -> [..., out] with int4-stored W.
+
+    Two regimes, picked statically from x's token count (each jitted
+    program has one shape, so this compiles to exactly one path):
+
+    - decode (few rows): grouped batched dot — per-group partial products
+      [g, N, out] are scaled then summed, so the int4 operand is only CAST
+      (the convert rides the dot's operand load like int8) and the
+      dequantized matrix never exists. Per-step weight traffic is
+      in*out/2 bytes: at Qwen2-7B this halves int8's per-token decode cost.
+    - prefill (many rows): the [g, N, out] f32 partials would dwarf the
+      weight; materialize the bf16 dequant per matmul instead (transient
+      ~the matrix size; prefill is MXU-bound so the extra HBM round trip
+      is noise) and run one large dot.
+    """
+    w_i4, scale = q["w_i4"], q["scale"]
+    kin, out = w_i4.shape
+    g = scale.shape[0]
+    gs = kin // g
+    lead = x.shape[:-1]
+    n = 1
+    for s in lead:
+        n *= s
+    if n > 8:
+        return x @ dequantize_weight_int4(q, x.dtype)
+    xg = x.reshape(n, g, gs).transpose(1, 0, 2)          # [g, N, gs]
+    wg = w_i4.reshape(g, gs, out)
+    p = jax.lax.dot_general(
+        xg, wg.astype(x.dtype),
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                                    # [g, N, out] f32
+    y = jnp.sum(p * scale[:, None, :], axis=0)           # [N, out]
+    return y.astype(x.dtype).reshape(*lead, out)
 
 
 def qmatmul(x: jnp.ndarray, q: Dict[str, jnp.ndarray]) -> jnp.ndarray:
@@ -60,7 +133,9 @@ def qmatmul(x: jnp.ndarray, q: Dict[str, jnp.ndarray]) -> jnp.ndarray:
 
 
 def matmul_any(x: jnp.ndarray, w: Any) -> jnp.ndarray:
-    """x @ w for a plain array OR a quantized {"w_i8","scale"} dict."""
+    """x @ w for a plain array OR a quantized int8/int4 dict."""
+    if isinstance(w, dict) and "w_i4" in w:
+        return qmatmul_int4(x, w)
     if is_quantized(w):
         return qmatmul(x, w)
     return x @ w
@@ -68,7 +143,7 @@ def matmul_any(x: jnp.ndarray, w: Any) -> jnp.ndarray:
 
 def quantize_decoder_params(
     params: Dict, quantize_lm_head: bool = True, destructive: bool = False,
-    quantize_embed: bool = False,
+    quantize_embed: bool = False, bits: int = 8,
 ) -> Dict:
     """Quantize every decoder matmul weight (returns a new pytree).
 
@@ -78,10 +153,19 @@ def quantize_decoder_params(
     (the gather reads one row per token); default off because tied-embedding
     logits would double quantization error (Qwen2/LLaMA-3 are untied).
 
+    bits=4 stores layer matmuls as group-128 int4 (quantize_weight_int4);
+    the lm_head (and embed) stay int8 — logits are the most
+    quantization-sensitive projection and the head is ~8%% of step traffic.
+    Round-to-nearest int4 is an accuracy trade the caller opts into for
+    ~2.6x lower weight bandwidth than int8.
+
     destructive=True drops each source weight as soon as its int8 twin
     exists, so peak HBM stays ~one weight above the bf16 tree instead of
     bf16 + int8 together (15.2 + 7.7 GB would not fit the 16 GB chip).
     """
+    if bits not in (4, 8):
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
+    qfn = quantize_weight_int4 if bits == 4 else quantize_weight
     out = dict(params)
     layers = []
     for p in params["layers"]:
@@ -93,14 +177,14 @@ def quantize_decoder_params(
         }
         for name in ("q", "k", "v", "o"):
             src = p["attn"][name]
-            dst = quantize_weight(src["w"])
+            dst = qfn(src["w"])
             if destructive:
                 del src["w"]
             if "b" in src:
                 dst["b"] = src["b"]
             lp["attn"][name] = dst
         for name in ("gate", "up", "down"):
-            lp["mlp"][name] = quantize_weight(p["mlp"][name])
+            lp["mlp"][name] = qfn(p["mlp"][name])
             if destructive:
                 del p["mlp"][name]
         layers.append(lp)

@@ -31,7 +31,7 @@ from streamchat_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 def decoder_pspecs(
     cfg: DecoderConfig,
     model_axis: str = MODEL_AXIS,
-    quantized: bool = False,
+    quantized: bool | str = False,
 ) -> Dict[str, Any]:
     """PartitionSpec tree matching `models/decoder.init(cfg)`.
 
@@ -41,10 +41,21 @@ def decoder_pspecs(
     scale shards with whatever axis the weight's OUTPUT dim carries (the
     model axis for column-parallel q/k/v/gate/up/lm_head, replicated for
     row-parallel o/down whose output dim is unsharded).
+
+    quantized="int4" matches the bits=4 tree: layer matmuls are
+    {"w_i4": P(a, b), "scale": P(None, b)} — the [g, out] group scale
+    shards only on the output dim (the group dim may not divide the mesh:
+    g=28 at Qwen2-7B, or g=1 on tiny test models; a replicated group dim
+    costs ~0.2% of the weight bytes and XLA slices it locally inside the
+    grouped dot). lm_head stays in the int8 form (quantize_decoder_params
+    keeps the head at 8 bits).
     """
     m = model_axis
+    int4 = quantized == "int4"
 
     def w(spec_in, spec_out):
+        if int4:
+            return {"w_i4": P(spec_in, spec_out), "scale": P(None, spec_out)}
         if quantized:
             return {"w_i8": P(spec_in, spec_out), "scale": P(spec_out)}
         return {"w": P(spec_in, spec_out)}
@@ -80,7 +91,13 @@ def decoder_pspecs(
         "final_norm": P(None),
     }
     if not cfg.tie_embeddings:
-        specs["lm_head"] = w(None, m) if quantized else P(None, m)
+        if int4:
+            # bits=4 trees keep the logits head int8 (quantize_decoder_params).
+            specs["lm_head"] = {"w_i8": P(None, m), "scale": P(m)}
+        elif quantized:
+            specs["lm_head"] = w(None, m)
+        else:
+            specs["lm_head"] = P(None, m)
     return specs
 
 

@@ -495,6 +495,10 @@ def parse_args(argv=None):
                         "(default; see --bf16)")
     p.add_argument("--bf16", dest="int8", action="store_false",
                    help="full bf16 decoder weights (opt out of int8 serving)")
+    p.add_argument("--int4", action="store_true",
+                   help="group-128 int4 weight-only decoder (lm_head stays "
+                        "int8): ~2x int8's decode throughput at an RTN "
+                        "accuracy trade; opt-in")
     p.add_argument("--save_tree_dir", type=str, default=None,
                    help="persist each video's visual memory tree here")
     p.add_argument("--offload_chunks", action="store_true",
@@ -546,7 +550,9 @@ def main(argv=None) -> None:
     args = parse_args(argv)
     cfg = config_from_args(args)
     pipeline = build_pipeline(cfg)
-    if args.int8:
+    if args.int4:
+        pipeline.model.quantize(bits=4)
+    elif args.int8:
         pipeline.model.quantize()
     if args.shard:
         pipeline.model.shard()

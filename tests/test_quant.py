@@ -184,3 +184,169 @@ def test_quantized_embedding_lookup(params, key):
         max_new_tokens=4, temperature=0.0,
     )
     assert toks.shape == (1, 4)
+
+
+# ---------------------------------------------------------------------------
+# int4 (group-128 RTN weight-only)
+# ---------------------------------------------------------------------------
+
+
+def test_int4_roundtrip_error(key):
+    from streamchat_tpu.ops.quant import (
+        dequantize_weight_int4, quantize_weight_int4,
+    )
+
+    w = jax.random.normal(key, (256, 32)) * 0.1
+    q = quantize_weight_int4(w, group_size=128)
+    assert q["w_i4"].dtype == jnp.int4
+    assert q["scale"].shape == (2, 32)
+    deq = np.asarray(dequantize_weight_int4(q, jnp.float32))
+    # Symmetric RTN at 4 bits: per-element error <= scale/2 of its group.
+    bound = np.repeat(np.asarray(q["scale"]), 128, axis=0) / 2 + 1e-7
+    assert np.all(np.abs(deq - np.asarray(w)) <= bound)
+
+
+def test_int4_matmul_both_regimes(key):
+    """The grouped decode path (few rows) and the materialized prefill path
+    (many rows) both match the dequantized matmul exactly."""
+    from streamchat_tpu.ops.quant import (
+        dequantize_weight_int4, qmatmul_int4, quantize_weight_int4,
+    )
+
+    k1, k2 = jax.random.split(key)
+    w = jax.random.normal(k2, (256, 48)) * 0.1
+    q = quantize_weight_int4(w, group_size=64)
+    deq = dequantize_weight_int4(q, jnp.float32)
+    for rows in (1, 4, 33):          # 1/4 -> grouped; 33 -> materialized
+        x = jax.random.normal(k1, (rows, 256), jnp.float32)
+        got = np.asarray(qmatmul_int4(x, q))
+        want = np.asarray(x @ deq)
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+    # 3-d activations (the decoder's [B, S, D]) dispatch on total rows.
+    x3 = jax.random.normal(k1, (2, 3, 256), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(qmatmul_int4(x3, q)),
+        np.asarray(x3 @ deq), atol=2e-4, rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(matmul_any(x3, q)), np.asarray(qmatmul_int4(x3, q)), atol=0
+    )
+
+
+def test_int4_decoder_tree_and_prefill(params, key):
+    """bits=4 quantizes layer matmuls to int4 (lm_head stays int8), and the
+    int4 tree's prefill equals prefill over an explicitly DEQUANTIZED tree —
+    the exactness invariant of qmatmul_int4 (quality on RANDOM tiny weights
+    is not meaningful; correctness of the quantized compute is)."""
+    from streamchat_tpu.ops.quant import dequantize_weight_int4
+
+    q4 = quantize_decoder_params(params, bits=4)
+    q0 = q4["layers"][0]["attn"]["q"]
+    assert q0["w_i4"].dtype == jnp.int4
+    assert "b" in q0
+    assert q4["lm_head"]["w_i8"].dtype == jnp.int8
+
+    deq = jax.tree.map(
+        lambda x: x,
+        {
+            **q4,
+            "layers": [
+                {
+                    "input_norm": lp["input_norm"],
+                    "post_norm": lp["post_norm"],
+                    "attn": {
+                        n: {
+                            "w": dequantize_weight_int4(lp["attn"][n], jnp.float32),
+                            **({"b": lp["attn"][n]["b"]} if "b" in lp["attn"][n] else {}),
+                        }
+                        for n in ("q", "k", "v", "o")
+                    },
+                    "mlp": {
+                        n: dequantize_weight_int4(lp["mlp"][n], jnp.float32)
+                        for n in ("gate", "up", "down")
+                    },
+                }
+                for lp in q4["layers"]
+            ],
+        },
+    )
+    ids = jax.random.randint(key, (1, 16), 0, CFG.vocab_size)
+    embeds = decoder.embed_tokens(params, ids)
+    from streamchat_tpu.models.decoder import KVCache
+
+    l4, _ = decoder.prefill(
+        q4, CFG, embeds, KVCache.create(CFG, 1, 32, dtype=jnp.float32),
+        jnp.array([16], jnp.int32),
+    )
+    ld, _ = decoder.prefill(
+        deq, CFG, embeds, KVCache.create(CFG, 1, 32, dtype=jnp.float32),
+        jnp.array([16], jnp.int32),
+    )
+    np.testing.assert_allclose(
+        np.asarray(l4[0]), np.asarray(ld[0]), atol=2e-3, rtol=1e-3
+    )
+
+
+def test_int4_generate_paths_token_exact(params, key):
+    """Contiguous and paged decode agree token-for-token on an int4 tree
+    (prefill materializes the dequant, decode runs the grouped path — both
+    must compute the same numbers)."""
+    from streamchat_tpu.models.generate import generate
+    from streamchat_tpu.models.generate_paged import generate_paged
+
+    q4 = quantize_decoder_params(params, bits=4)
+    ids = jax.random.randint(key, (1, 12), 0, CFG.vocab_size)
+    embeds = decoder.embed_tokens(q4, ids)
+    length = jnp.array([12], jnp.int32)
+    kw = dict(max_new_tokens=6, temperature=0.0)
+    t1, _ = generate(q4, CFG, embeds, length, jax.random.key(0), **kw)
+    t2, _ = generate_paged(
+        q4, CFG, embeds, length, jax.random.key(0), page_size=16, **kw
+    )
+    assert t1.shape == (1, 6)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_int4_checkpoint_roundtrip(params, key, tmp_path):
+    from streamchat_tpu.models.generate import generate
+    from streamchat_tpu.models.weights import load_quantized, save_quantized
+
+    q4 = quantize_decoder_params(params, bits=4)
+    path = str(tmp_path / "ckpt_int4.npz")
+    save_quantized(q4, path)
+    loaded = load_quantized(path, dtype=jnp.float32)
+    assert loaded["layers"][0]["attn"]["q"]["w_i4"].dtype == jnp.int4
+    ids = jax.random.randint(key, (1, 10), 0, CFG.vocab_size)
+    embeds = decoder.embed_tokens(q4, ids)
+    length = jnp.array([10], jnp.int32)
+    kw = dict(max_new_tokens=5, temperature=0.0)
+    t1, _ = generate(q4, CFG, embeds, length, jax.random.key(0), **kw)
+    t2, _ = generate(loaded, CFG, embeds, length, jax.random.key(0), **kw)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_int4_tp_sharding(key):
+    """Int4 decoder params shard over the mesh (weight AND [g, out] scale)
+    and generate identically to the unsharded int4 model."""
+    from streamchat_tpu.config import ViTConfig
+    from streamchat_tpu.models.longva import LongVA
+    from streamchat_tpu.parallel import make_mesh
+
+    model = LongVA.init_random(
+        key, ViTConfig.tiny(projection_dim=CFG.hidden_size), CFG,
+        dtype=jnp.float32,
+    ).quantize(bits=4)
+    feats = jax.random.normal(jax.random.key(3), (4, CFG.hidden_size))
+    prompt = "tell me about <image> now"
+    ref = model.generate_with_image_embedding(
+        prompt, [feats], max_new_tokens=5, temperature=0.0
+    )
+    mesh = make_mesh(4, 2)
+    model.shard(mesh)
+    q0 = model.dec_params["layers"][0]["attn"]["q"]
+    assert "model" in str(q0["w_i4"].sharding.spec)
+    assert "model" in str(q0["scale"].sharding.spec)
+    out = model.generate_with_image_embedding(
+        prompt, [feats], max_new_tokens=5, temperature=0.0
+    )
+    assert out == ref
