@@ -40,8 +40,11 @@ def micro(reps: int = 50):
     x = jax.random.normal(jax.random.key(1), (1, din), jnp.bfloat16)
 
     def bench(fn, q):
+        # q rides as an ARGUMENT: closure-captured weights constant-fold
+        # into the program (CLAUDE.md), and an s4 closure constant crashes
+        # device_put with a jit recursion on this backend.
         @jax.jit
-        def loop(x):
+        def loop(x, q):
             def body(c, _):
                 y = fn(c, q)
                 # fold back to input width so the scan carries a fixed shape
@@ -50,9 +53,9 @@ def micro(reps: int = 50):
             c, _ = jax.lax.scan(body, x, None, length=reps)
             return jnp.sum(c.astype(jnp.float32))
 
-        float(loop(x))                       # compile
+        float(loop(x, q))                    # compile
         t0 = time.time()
-        float(loop(x))
+        float(loop(x, q))
         return (time.time() - t0) / reps * 1e3
 
     ms8 = bench(qmatmul, q8)

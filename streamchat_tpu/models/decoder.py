@@ -152,10 +152,10 @@ def _proj(x, p):
 
     # p is {"w": [in,out](, "b")}, the int8 weight-only form
     # {"w_i8": int8, "scale": f32(, "b")}, or the group-128 int4 form
-    # {"w_i4": int4, "scale": f32[g,out](, "b")} (ops/quant.py) — decode
+    # {"w_i4p": int4, "scale": f32[g,out](, "b")} (ops/quant.py) — decode
     # reads the full parameter set per token, so narrower weight storage
     # directly divides the HBM-roofline latency.
-    if "w_i4" in p:
+    if "w_i4p" in p:
         y = qmatmul_int4(x, p)
     elif "w_i8" in p:
         y = qmatmul(x, p)
@@ -349,7 +349,7 @@ def logits_from_hidden(params: Params, cfg: DecoderConfig, hidden: jnp.ndarray) 
             "error through the logits; quantize_embed is for untied models"
         )
     head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
-    if isinstance(head, dict) and "w_i4" in head:
+    if isinstance(head, dict) and "w_i4p" in head:
         from streamchat_tpu.ops.quant import qmatmul_int4
 
         return qmatmul_int4(hidden.astype(jnp.float32), head)

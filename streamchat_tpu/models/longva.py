@@ -144,7 +144,7 @@ class LongVA:
         )
         self.proj_params = shard_pytree(self.proj_params, projector_pspecs(), mesh)
         q0 = self.dec_params["layers"][0]["attn"]["q"]
-        quantized = "int4" if "w_i4" in q0 else "w_i8" in q0
+        quantized = "int4" if "w_i4p" in q0 else "w_i8" in q0
         self.dec_params = shard_pytree(
             self.dec_params, decoder_pspecs(self.dec_cfg, quantized=quantized), mesh
         )

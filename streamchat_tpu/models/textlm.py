@@ -50,7 +50,7 @@ class TextLM:
             n = len(jax.devices())
             mesh = make_mesh(*best_mesh_shape(n, kv_heads=self.cfg.num_kv_heads))
         q0 = self.params["layers"][0]["attn"]["q"]
-        quantized = "int4" if "w_i4" in q0 else "w_i8" in q0
+        quantized = "int4" if "w_i4p" in q0 else "w_i8" in q0
         self.params = shard_pytree(
             self.params, decoder_pspecs(self.cfg, quantized=quantized), mesh
         )

@@ -314,12 +314,9 @@ def save_quantized(params: dict, path: str) -> None:
             for i, v in enumerate(node):
                 walk(f"{prefix}.{i}", v)
         else:
-            arr = np.asarray(node)
-            if arr.dtype.name == "int4":
-                # npz has no narrow-int dtype; widen to int8 on disk — the
-                # loader casts leaves named w_i4 back (values are in [-7, 7]).
-                arr = arr.astype(np.int8)
-            flat[prefix] = arr
+            # int4 trees store packed nibbles as plain int8 (w_i4p), so
+            # every quantized leaf is already an npz-native dtype.
+            flat[prefix] = np.asarray(node)
 
     walk("", params)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
@@ -336,9 +333,7 @@ def load_quantized(path: str, dtype=jnp.bfloat16) -> dict:
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         arr = data[key]
-        if parts[-1] == "w_i4":
-            val = jnp.asarray(arr).astype(jnp.int4)
-        elif arr.dtype == np.int8:
+        if arr.dtype == np.int8:
             val = jnp.asarray(arr)
         elif arr.dtype == np.float32 and parts[-1] == "scale":
             val = jnp.asarray(arr)

@@ -1,0 +1,145 @@
+"""Pallas int4 weight-only matvec: stream packed nibbles, unpack in VMEM.
+
+Single-stream decode is weight-bandwidth bound (ops/quant.py): per token the
+full parameter set crosses HBM. XLA serves int8 at the roofline because the
+int8->bf16 convert fuses into the dot's operand load — but it CANNOT fuse a
+nibble unpack (shift/mask) into an operand load, so an XLA int4 matmul
+materializes the unpacked matrix and runs 2.2x SLOWER than int8 (measured on
+the v5e, round 3). This kernel is the fix: the packed bytes
+(quantize_weight_int4's column-half layout, [in, out/2] int8) are DMA'd to
+VMEM as-is — half of int8's bytes — and the nibbles are unpacked by the VPU
+on-chip, where the unpack rides under the next block's DMA.
+
+Layout contract (ops/quant.quantize_weight_int4):
+  byte (i, j) = w[i, j] in the low nibble, w[i, j + out/2] in the high
+  nibble; scale [g, 2, out/2] f32, dim 1 = (low, high) halves.
+
+One grid step (j, k) covers a [bk, bo] byte block — bk = gpb groups of 128
+input rows, bo packed columns — and contributes to BOTH output halves'
+columns [j*bo, (j+1)*bo). Per sub-group dots keep the group scale exact
+(it multiplies the f32 partial before accumulation, outside the dot).
+Ragged edges use ceil grids: k-edge garbage is masked by zeroing each
+sub-group's CONTRIBUTION (jnp.where on the scaled partial — 0*NaN never
+reaches the accumulator), j-edge garbage lands in padded output columns
+sliced off outside.
+
+The reference has no analogue (no quantization at all); the closest kin is
+its Triton flash kernel (vila/model/language_model/mpt/flash_attn_triton.py)
+as "the hand-written kernel where the compiler can't".
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+GROUP = 128          # quantization group size (quantize_weight_int4 default)
+
+
+def _kernel(
+    x_ref,            # [8, bk] bf16      (rows padded to 8)
+    w_ref,            # [bk, bo] int8     (packed bytes)
+    s_ref,            # [gpb, 2, bo] f32  (group scales, both halves)
+    o_ref,            # [8, 2, bo] f32
+    acc_lo,           # [8, bo] f32 scratch
+    acc_hi,
+    *,
+    gpb: int,
+    num_k: int,
+    num_groups: int,
+):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_lo[...] = jnp.zeros_like(acc_lo)
+        acc_hi[...] = jnp.zeros_like(acc_hi)
+
+    # Signed nibbles: low = ((b & 0xF) ^ 8) - 8, high = b >> 4 (arithmetic
+    # after sign extension). Widened to i32 first — Mosaic has no i8
+    # subtract (arith.subi on vector<i8> fails to legalize); 32-bit bit
+    # ops are native VPU lanes.
+    w32 = w_ref[...].astype(jnp.int32)
+    lo = (((w32 & 0xF) ^ 8) - 8).astype(jnp.bfloat16)     # [bk, bo]
+    hi = (w32 >> 4).astype(jnp.bfloat16)
+
+    for gs in range(gpb):
+        r0 = gs * GROUP
+        xg = x_ref[:, r0:r0 + GROUP]                      # [8, 128]
+        p_lo = jax.lax.dot(xg, lo[r0:r0 + GROUP],
+                           preferred_element_type=jnp.float32)
+        p_hi = jax.lax.dot(xg, hi[r0:r0 + GROUP],
+                           preferred_element_type=jnp.float32)
+        # Masked-edge k blocks: an out-of-range sub-group multiplies
+        # garbage x rows and garbage scales — select 0 AFTER the scale
+        # multiply so NaNs cannot reach the accumulator.
+        valid = (k * gpb + gs) < num_groups
+        acc_lo[...] += jnp.where(valid, p_lo * s_ref[gs, 0][None], 0.0)
+        acc_hi[...] += jnp.where(valid, p_hi * s_ref[gs, 1][None], 0.0)
+
+    @pl.when(k == num_k - 1)
+    def _store():
+        o_ref[:, 0] = acc_lo[...]
+        o_ref[:, 1] = acc_hi[...]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_out", "groups_per_block", "interpret")
+)
+def qmatvec_int4(
+    x: jnp.ndarray,           # [N, in] bf16, N <= 8
+    w_i4p: jnp.ndarray,       # [in, out/2] int8 packed
+    scale: jnp.ndarray,       # [g, 2, out/2] f32
+    block_out: int = 1024,
+    groups_per_block: int = 16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x @ W for packed int4 W -> [N, out] f32.
+
+    Decode-oriented (N <= 8 activation rows ride one sublane block); weight
+    traffic is the packed in*out/2 bytes. Callers gate on
+    in % 128 == 0 and (out/2) % 128 == 0 (ops/quant.qmatmul_int4).
+    """
+    n, kin = x.shape
+    _, oh = w_i4p.shape
+    g = scale.shape[0]
+    if kin // g != GROUP:
+        raise ValueError(f"expected group size {GROUP}, got {kin // g}")
+    if n > 8:
+        raise ValueError(f"matvec kernel serves <=8 rows, got {n}")
+    bo = min(block_out, -(-oh // 128) * 128)
+    gpb = min(groups_per_block, g)
+    bk = gpb * GROUP
+    nj = -(-oh // bo)
+    nk = -(-g // gpb)
+
+    if n < 8:
+        x = jnp.pad(x, ((0, 8 - n), (0, 0)))
+
+    kernel = functools.partial(
+        _kernel, gpb=gpb, num_k=nk, num_groups=g,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(nj, nk),
+        in_specs=[
+            pl.BlockSpec((8, bk), lambda j, k: (0, k)),
+            pl.BlockSpec((bk, bo), lambda j, k: (k, j)),
+            pl.BlockSpec((gpb, 2, bo), lambda j, k: (k, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((8, 2, bo), lambda j, k: (0, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((8, 2, nj * bo), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((8, bo), jnp.float32),
+            pltpu.VMEM((8, bo), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, w_i4p, scale)
+    return out[:n, :, :oh].reshape(n, 2 * oh)

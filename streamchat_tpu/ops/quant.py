@@ -41,80 +41,120 @@ def dequantize_weight(q: Dict[str, jnp.ndarray], dtype=jnp.bfloat16) -> jnp.ndar
 
 
 def is_quantized(p: Any) -> bool:
-    return isinstance(p, dict) and ("w_i8" in p or "w_i4" in p)
+    return isinstance(p, dict) and ("w_i8" in p or "w_i4p" in p)
 
 
 def quantize_weight_int4(
     w: jnp.ndarray, group_size: int = 128
 ) -> Dict[str, jnp.ndarray]:
-    """W [in, out] -> {"w_i4": int4 [in, out], "scale": f32 [in/gs, out]}.
+    """W [in, out] -> {"w_i4p": int8 [in, out/2], "scale": f32 [in/gs, 2, out/2]}.
 
     Symmetric round-to-nearest int4 with per-(input-group, output-channel)
     scales: group g of 128 input rows shares scale[g, out]. Per-channel int4
     (the int8 scheme) is too coarse at 4 bits; 128-groups are the standard
-    weight-only granularity. XLA stores s4 packed two-per-byte in HBM, so a
-    quantized matrix costs in*out/2 bytes + in/gs*out*4 scale bytes
-    (~6.3%% overhead at gs=128).
+    weight-only granularity.
+
+    Storage is two nibbles per int8 byte with COLUMN-HALF packing — byte
+    (i, j) holds w[i, j] in the low nibble and w[i, j + out/2] in the high
+    nibble, so the unpacked matrix is concat(lo_half, hi_half) along the
+    output dim: no interleave, no sub-byte dtype. Native jnp.int4 arrays
+    are deliberately NOT used at rest: an s4 array crossing a jit boundary
+    crashes device_put with a relayout recursion on the axon TPU backend
+    (sub-byte layout bug, reproduced minimally this round), and XLA does
+    not fuse a bitcast-unpack into the dot operand load anyway (measured:
+    2.2x SLOWER than int8) — the decode-speed win lives in the Pallas
+    kernel (ops/int4_matmul.py), which unpacks nibbles in-VMEM.
+
+    The group scale is stored as [g, 2, out/2] — dim 1 indexes the
+    (low, high) column halves, so `scale.reshape(g, out)` recovers the
+    flat per-column layout and the Pallas kernel block-slices each half
+    directly.
     """
     kin, out = w.shape
     if kin % group_size:
         raise ValueError(f"in-dim {kin} not divisible by group {group_size}")
+    if out % 2:
+        raise ValueError(f"out-dim {out} must be even for nibble packing")
     g = kin // group_size
     w32 = w.astype(jnp.float32).reshape(g, group_size, out)
     amax = jnp.max(jnp.abs(w32), axis=1)                 # [g, out]
     scale = jnp.where(amax > 0, amax / 7.0, 1.0)
     w_i4 = jnp.clip(
         jnp.round(w32 / scale[:, None, :]), -7, 7
-    ).astype(jnp.int4).reshape(kin, out)
-    return {"w_i4": w_i4, "scale": scale}
+    ).astype(jnp.int8).reshape(kin, out)
+    oh = out // 2
+    lo = w_i4[:, :oh] & 0xF
+    hi = (w_i4[:, oh:] & 0xF) << 4
+    return {"w_i4p": (lo | hi).astype(jnp.int8),
+            "scale": scale.reshape(g, 2, oh)}
+
+
+def unpack_int4(p: jnp.ndarray) -> jnp.ndarray:
+    """Packed bytes [in, out/2] -> int8 values [in, out] (in-program).
+
+    Pure int8 bit ops (no s4 dtype): signed low nibble via the xor-sub
+    trick, signed high nibble via arithmetic shift. Column order is
+    [low-half | high-half], matching quantize_weight_int4's packing.
+    """
+    lo = ((p & 0xF) ^ 8) - 8
+    hi = jax.lax.shift_right_arithmetic(p, jnp.int8(4))
+    return jnp.concatenate([lo, hi], axis=-1)
 
 
 def dequantize_weight_int4(
     q: Dict[str, jnp.ndarray], dtype=jnp.bfloat16
 ) -> jnp.ndarray:
     """Materialize W ≈ W_i4 * scale[group] -> [in, out]."""
-    w_i4, scale = q["w_i4"], q["scale"]
+    w_i4 = unpack_int4(q["w_i4p"])
     kin, out = w_i4.shape
-    g = scale.shape[0]
+    g = q["scale"].shape[0]
+    scale = q["scale"].reshape(g, out)
     w = w_i4.astype(jnp.float32).reshape(g, kin // g, out) * scale[:, None, :]
     return w.reshape(kin, out).astype(dtype)
 
 
 def qmatmul_int4(x: jnp.ndarray, q: Dict[str, jnp.ndarray]) -> jnp.ndarray:
-    """x [..., in] @ W -> [..., out] with int4-stored W.
+    """x [..., in] @ W -> [..., out] with packed-int4-stored W.
 
     Two regimes, picked statically from x's token count (each jitted
     program has one shape, so this compiles to exactly one path):
 
-    - decode (few rows): grouped batched dot — per-group partial products
-      [g, N, out] are scaled then summed, so the int4 operand is only CAST
-      (the convert rides the dot's operand load like int8) and the
-      dequantized matrix never exists. Per-step weight traffic is
-      in*out/2 bytes: at Qwen2-7B this halves int8's per-token decode cost.
-    - prefill (many rows): the [g, N, out] f32 partials would dwarf the
-      weight; materialize the bf16 dequant per matmul instead (transient
-      ~the matrix size; prefill is MXU-bound so the extra HBM round trip
-      is noise) and run one large dot.
+    - decode (few bf16 rows on TPU): the Pallas matvec kernel
+      (ops/int4_matmul.qmatvec_int4) streams the PACKED bytes and unpacks
+      nibbles in VMEM — per-step weight traffic is in*out/2 bytes, half
+      of int8's. XLA cannot express this (a shift-unpack never fuses into
+      a dot operand load; measured 2.2x slower than int8).
+    - anything else (prefill, CPU, f32): materialize the bf16 dequant per
+      matmul and run one large dot — prefill is MXU-bound, so the
+      transient HBM round trip is noise.
     """
-    w_i4, scale = q["w_i4"], q["scale"]
-    kin, out = w_i4.shape
-    g = scale.shape[0]
-    gs = kin // g
     lead = x.shape[:-1]
     n = 1
     for s in lead:
         n *= s
-    if n > 8:
-        return x @ dequantize_weight_int4(q, x.dtype)
-    xg = x.reshape(n, g, gs).transpose(1, 0, 2)          # [g, N, gs]
-    wg = w_i4.reshape(g, gs, out)
-    p = jax.lax.dot_general(
-        xg, wg.astype(x.dtype),
-        (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )                                                    # [g, N, out] f32
-    y = jnp.sum(p * scale[:, None, :], axis=0)           # [N, out]
-    return y.astype(x.dtype).reshape(*lead, out)
+    kin = q["w_i4p"].shape[0]
+    out = q["w_i4p"].shape[1] * 2
+    gs = kin // q["scale"].shape[0]
+    oh = out // 2
+    if (
+        n <= 8
+        and x.dtype == jnp.bfloat16
+        and jax.default_backend() == "tpu"
+        and jax.device_count() == 1
+        and kin % gs == 0
+        and gs % 128 == 0
+        and oh % 128 == 0
+    ):
+        # device_count gate: a pallas_call inside a pjit over a >1-device
+        # mesh won't auto-partition the sharded weight operand; multi-chip
+        # TP serves int4 via the XLA dequant path (each chip's shard is
+        # halved anyway). Revisit with shard_map when real multi-chip
+        # hardware is available.
+        from streamchat_tpu.ops.int4_matmul import qmatvec_int4
+
+        y = qmatvec_int4(x.reshape(n, kin), q["w_i4p"], q["scale"])
+        return y.astype(x.dtype).reshape(*lead, out)
+    return x @ dequantize_weight_int4(q, x.dtype)
 
 
 def qmatmul(x: jnp.ndarray, q: Dict[str, jnp.ndarray]) -> jnp.ndarray:
@@ -134,7 +174,7 @@ def qmatmul(x: jnp.ndarray, q: Dict[str, jnp.ndarray]) -> jnp.ndarray:
 
 def matmul_any(x: jnp.ndarray, w: Any) -> jnp.ndarray:
     """x @ w for a plain array OR a quantized int8/int4 dict."""
-    if isinstance(w, dict) and "w_i4" in w:
+    if isinstance(w, dict) and "w_i4p" in w:
         return qmatmul_int4(x, w)
     if is_quantized(w):
         return qmatmul(x, w)

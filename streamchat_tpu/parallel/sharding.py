@@ -43,7 +43,7 @@ def decoder_pspecs(
     row-parallel o/down whose output dim is unsharded).
 
     quantized="int4" matches the bits=4 tree: layer matmuls are
-    {"w_i4": P(a, b), "scale": P(None, b)} — the [g, out] group scale
+    {"w_i4p": P(a, b), "scale": P(None, b)} — the [g, out] group scale
     shards only on the output dim (the group dim may not divide the mesh:
     g=28 at Qwen2-7B, or g=1 on tiny test models; a replicated group dim
     costs ~0.2% of the weight bytes and XLA slices it locally inside the
@@ -55,7 +55,7 @@ def decoder_pspecs(
 
     def w(spec_in, spec_out):
         if int4:
-            return {"w_i4": P(spec_in, spec_out), "scale": P(None, spec_out)}
+            return {"w_i4p": P(spec_in, spec_out), "scale": P(None, spec_out)}
         if quantized:
             return {"w_i8": P(spec_in, spec_out), "scale": P(spec_out)}
         return {"w": P(spec_in, spec_out)}

@@ -198,11 +198,11 @@ def test_int4_roundtrip_error(key):
 
     w = jax.random.normal(key, (256, 32)) * 0.1
     q = quantize_weight_int4(w, group_size=128)
-    assert q["w_i4"].dtype == jnp.int4
-    assert q["scale"].shape == (2, 32)
+    assert q["w_i4p"].dtype == jnp.int8
+    assert q["scale"].shape == (2, 2, 16)
     deq = np.asarray(dequantize_weight_int4(q, jnp.float32))
     # Symmetric RTN at 4 bits: per-element error <= scale/2 of its group.
-    bound = np.repeat(np.asarray(q["scale"]), 128, axis=0) / 2 + 1e-7
+    bound = np.repeat(np.asarray(q["scale"]).reshape(2, 32), 128, axis=0) / 2 + 1e-7
     assert np.all(np.abs(deq - np.asarray(w)) <= bound)
 
 
@@ -242,7 +242,7 @@ def test_int4_decoder_tree_and_prefill(params, key):
 
     q4 = quantize_decoder_params(params, bits=4)
     q0 = q4["layers"][0]["attn"]["q"]
-    assert q0["w_i4"].dtype == jnp.int4
+    assert q0["w_i4p"].dtype == jnp.int8
     assert "b" in q0
     assert q4["lm_head"]["w_i8"].dtype == jnp.int8
 
@@ -315,7 +315,7 @@ def test_int4_checkpoint_roundtrip(params, key, tmp_path):
     path = str(tmp_path / "ckpt_int4.npz")
     save_quantized(q4, path)
     loaded = load_quantized(path, dtype=jnp.float32)
-    assert loaded["layers"][0]["attn"]["q"]["w_i4"].dtype == jnp.int4
+    assert loaded["layers"][0]["attn"]["q"]["w_i4p"].dtype == jnp.int8
     ids = jax.random.randint(key, (1, 10), 0, CFG.vocab_size)
     embeds = decoder.embed_tokens(q4, ids)
     length = jnp.array([10], jnp.int32)
@@ -344,9 +344,54 @@ def test_int4_tp_sharding(key):
     mesh = make_mesh(4, 2)
     model.shard(mesh)
     q0 = model.dec_params["layers"][0]["attn"]["q"]
-    assert "model" in str(q0["w_i4"].sharding.spec)
+    assert "model" in str(q0["w_i4p"].sharding.spec)
     assert "model" in str(q0["scale"].sharding.spec)
     out = model.generate_with_image_embedding(
         prompt, [feats], max_new_tokens=5, temperature=0.0
     )
     assert out == ref
+
+
+def test_int4_pallas_kernel_interpret(key):
+    """qmatvec_int4 (interpret mode) matches the dequantized matmul,
+    including ragged j/k edges (oh and g not divisible by the blocks)."""
+    from streamchat_tpu.ops.int4_matmul import qmatvec_int4
+    from streamchat_tpu.ops.quant import (
+        dequantize_weight_int4, quantize_weight_int4,
+    )
+
+    k1, k2 = jax.random.split(key)
+    for kin, out, bo, gpb in (
+        (256, 256, 128, 1),      # exact blocks
+        (384, 512, 128, 2),      # k edge (3 groups, gpb 2)
+        (256, 768, 256, 2),      # j edge (oh=384, bo=256)
+    ):
+        w = jax.random.normal(k2, (kin, out)) * 0.1
+        q = quantize_weight_int4(w, group_size=128)
+        x = (jax.random.normal(k1, (3, kin)) * 0.5).astype(jnp.bfloat16)
+        got = qmatvec_int4(x, q["w_i4p"], q["scale"],
+                           block_out=bo, groups_per_block=gpb,
+                           interpret=True)
+        want = (x @ dequantize_weight_int4(q, jnp.bfloat16)).astype(jnp.float32)
+        assert got.shape == (3, out)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=0.25, rtol=0.05
+        )
+
+
+def test_int4_scale_layout_roundtrip(key):
+    """scale [g, 2, oh] reshapes to the flat per-column layout."""
+    from streamchat_tpu.ops.quant import (
+        dequantize_weight_int4, quantize_weight_int4, unpack_int4,
+    )
+
+    w = jax.random.normal(key, (128, 64)) * 0.1
+    q = quantize_weight_int4(w, group_size=128)
+    assert q["scale"].shape == (1, 2, 32)
+    vals = np.asarray(unpack_int4(q["w_i4p"]))
+    assert vals.min() >= -7 and vals.max() <= 7
+    deq = np.asarray(dequantize_weight_int4(q, jnp.float32))
+    bound = np.repeat(
+        np.asarray(q["scale"]).reshape(1, 64), 128, axis=0
+    ) / 2 + 1e-7
+    assert np.all(np.abs(deq - np.asarray(w)) <= bound)
