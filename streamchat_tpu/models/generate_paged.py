@@ -74,7 +74,9 @@ def _seed_hh_from_prompt(cache: KVCache, num_probes: int = 16) -> jnp.ndarray:
     return jax.vmap(per_layer)(cache.k[:, 0]).astype(jnp.float32)
 
 
-def generate_paged(*args, **kwargs) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def generate_paged(
+    params, cfg, prompt_embeds, seq_length, key, **kwargs
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Paged twin of models/generate.generate -> (tokens [B, max_new], count [B]).
 
     With hh_size == 0 the pool is sized to never overflow and the output is
@@ -86,13 +88,48 @@ def generate_paged(*args, **kwargs) -> Tuple[jnp.ndarray, jnp.ndarray]:
     half the KV HBM and cache traffic (paged_kv.PagedKVCacheInt8); mutually
     exclusive with in-loop H2O compression for now.
 
+    `prompt_embeds` may be a [B, S, D] array OR a list of equal-shape
+    [1, S, D] rows; a LIST is CONSUMED (entries dropped as their pages land
+    in the pool) so long-prompt callers never hold a batch concatenation
+    alive. Batched default-pool calls (b > 1, no H2O, pool unset) from the
+    host run as SPLIT programs: one per-row prefill executable (pools
+    donated in-place, one compile serves every row) plus one batched
+    decode-loop executable. One fused program at 3x23k-token caption geometry put the
+    row-prefill scan, the pool pair, and every prefill transient into a
+    single executable whose reserved workspace OOMed the 15 GiB chip
+    (round 3); the split caps peak at one row's prefill + the pool, and
+    re-uses compiled shapes across batch sizes.
+
     Allocator overflow inside the jitted decode loop (clamped scatters would
     silently read another row's KV) is threaded out as a flag and raised
     HERE, on the host, once the program returns (VERDICT r2 weak #4). When
     this wrapper itself runs under an outer trace the flag cannot be
     checked; such callers get the raw flag via _generate_paged_jit.
     """
-    toks, count, over = _generate_paged_jit(*args, **kwargs)
+    # prompt_embeds may be a LIST of equal-length [1, S, D] rows: callers at
+    # long-prompt geometry avoid materializing the [B, S, D] concatenation
+    # (and its ~0.5 GB copy) that only the fused path needs.
+    as_rows = isinstance(prompt_embeds, (list, tuple))
+    b = len(prompt_embeds) if as_rows else prompt_embeds.shape[0]
+    probe = prompt_embeds[0] if as_rows else prompt_embeds
+    split = (
+        not isinstance(probe, jax.core.Tracer)
+        and not isinstance(key, jax.core.Tracer)
+        and b > 1
+        and kwargs.get("hh_size", 0) == 0
+        and kwargs.get("num_pages") is None
+        and kwargs.get("max_pages_per_seq") is None
+    )
+    if split:
+        toks, count, over = _generate_paged_split(
+            params, cfg, prompt_embeds, seq_length, key, **kwargs
+        )
+    else:
+        if as_rows:
+            prompt_embeds = jnp.concatenate(list(prompt_embeds), axis=0)
+        toks, count, over = _generate_paged_jit(
+            params, cfg, prompt_embeds, seq_length, key, **kwargs
+        )
     if not isinstance(over, jax.core.Tracer) and bool(over):
         raise RuntimeError(
             "paged KV allocator overflowed during decode: the page pool or a "
@@ -100,6 +137,170 @@ def generate_paged(*args, **kwargs) -> Tuple[jnp.ndarray, jnp.ndarray]:
             "not free enough — output tokens would read another sequence's KV"
         )
     return toks, count
+
+
+def _generate_paged_split(
+    params, cfg, prompt_embeds, seq_length, key, *,
+    max_new_tokens, page_size: int = 128, temperature: float = 0.0,
+    top_p=None, eos_ids=None, kv_int8: bool = False,
+    hh_size: int = 0, recent_size: int = 0, sink_size: int = 4, merge=None,
+    num_pages=None, max_pages_per_seq=None,
+):
+    """Host-orchestrated batched partitioned-pool generation (see
+    generate_paged): per-row prefill programs write the shared pool
+    in-place (donated), then one batched decode program runs the fused
+    loop. Token-identical to the one-program path."""
+    import math
+
+    from streamchat_tpu.models.generate import CHUNKED_PREFILL_THRESHOLD
+
+    if eos_ids is None:
+        eos_ids = (cfg.eos_token_id,)
+    if isinstance(prompt_embeds, (list, tuple)):
+        # A LIST is consumed in place: each row entry is dropped as soon as
+        # its pages land in the pool (the caller's [1, 23k, 3584] rows are
+        # ~160 MB each — keeping b of them alive through the last prefill
+        # is exactly the kind of caller-held reference that OOMs this chip,
+        # CLAUDE.md round-3 landmines).
+        rows = prompt_embeds if isinstance(prompt_embeds, list) else list(
+            prompt_embeds
+        )
+        b, s = len(rows), rows[0].shape[1]
+        if any(r.shape != rows[0].shape for r in rows):
+            raise ValueError("row list must hold equal-shape [1, S, D] rows")
+    else:
+        b, s, _ = prompt_embeds.shape
+        rows = [prompt_embeds[r:r + 1] for r in range(b)]
+    align = (
+        math.lcm(page_size, 128) if s > CHUNKED_PREFILL_THRESHOLD else page_size
+    )
+    s_pad = -(-s // align) * align
+    maxp = -(-(s_pad + max_new_tokens) // page_size)
+    maxp = -(-maxp // 8) * 8        # whole 8-page kernel blocks per row
+    pool_pages = b * maxp
+    L, hkv, ps, dh = cfg.num_layers, cfg.num_kv_heads, page_size, cfg.head_dim
+    if kv_int8:
+        pools = (
+            jnp.zeros((L, pool_pages, hkv, ps, dh), jnp.int8),
+            jnp.zeros((L, pool_pages, hkv, ps, dh), jnp.int8),
+            jnp.zeros((L, pool_pages, hkv, ps), jnp.float32),
+            jnp.zeros((L, pool_pages, hkv, ps), jnp.float32),
+        )
+    else:
+        pools = (
+            jnp.zeros((L, pool_pages, hkv, ps, dh), prompt_embeds.dtype),
+            jnp.zeros((L, pool_pages, hkv, ps, dh), prompt_embeds.dtype),
+        )
+    lengths = seq_length.astype(jnp.int32)
+    logits = []
+    for r in range(b):
+        er = rows[r]
+        rows[r] = None                 # free each row as soon as it's paged
+        if s_pad > s:
+            er = jnp.pad(er, ((0, 0), (0, s_pad - s), (0, 0)))
+        pools, lg = _prefill_row_jit(
+            params, er, lengths[r:r + 1],
+            jnp.asarray(r, jnp.int32), pools,
+            cfg=cfg, page_size=page_size, ppr=s_pad // page_size,
+            maxp=maxp, kv_int8=kv_int8,
+        )
+        logits.append(lg)
+        del er
+    return _decode_batched_jit(
+        params, pools, lengths, jnp.stack(logits), key,
+        cfg=cfg, max_new_tokens=max_new_tokens, temperature=temperature,
+        top_p=top_p, eos_ids=tuple(eos_ids), page_size=page_size,
+        maxp=maxp, kv_int8=kv_int8,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "page_size", "ppr", "maxp", "kv_int8"),
+    donate_argnames=("pools",),
+)
+def _prefill_row_jit(
+    params, embeds_r, len_r, ri, pools, *,
+    cfg, page_size, ppr, maxp, kv_int8,
+):
+    """Prefill ONE row and scatter its pages into the partitioned pool at
+    row slot `ri` (dynamic — one executable serves every row)."""
+    from streamchat_tpu.models.generate import CHUNKED_PREFILL_THRESHOLD
+
+    s_pad = embeds_r.shape[1]
+    if kv_int8 and s_pad > CHUNKED_PREFILL_THRESHOLD:
+        # Quantize-on-write dense prefill: the bf16 dense cache alone is
+        # ~2.7 GB at 7B/23k and holding it just to quantize afterwards is
+        # what OOMed the chunk-40 caption path (round 3).
+        from streamchat_tpu.models.decoder import Int8KVCache
+
+        dense_r = Int8KVCache.create(cfg, 1, s_pad)
+    else:
+        dense_r = KVCache.create(cfg, 1, s_pad, dtype=embeds_r.dtype)
+    logits_r, dense_r = _prefill_inline(params, cfg, embeds_r, dense_r, len_r)
+    if kv_int8:
+        from streamchat_tpu.models.paged_kv import from_contiguous_int8
+
+        paged_r = from_contiguous_int8(dense_r, ppr, ppr, page_size)
+        row_vals = (paged_r.k_pages, paged_r.v_pages,
+                    paged_r.k_scale, paged_r.v_scale)
+    else:
+        paged_r = from_contiguous(dense_r, ppr, ppr, page_size)
+        row_vals = (paged_r.k_pages, paged_r.v_pages)
+    pools = tuple(
+        jax.lax.dynamic_update_slice(
+            pool, val, (0, ri * maxp) + (0,) * (pool.ndim - 2)
+        )
+        for pool, val in zip(pools, row_vals)
+    )
+    return pools, logits_r[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "temperature", "top_p",
+                     "eos_ids", "page_size", "maxp", "kv_int8"),
+    donate_argnames=("pools",),
+)
+def _decode_batched_jit(
+    params, pools, lengths, first_logits, key, *,
+    cfg, max_new_tokens, temperature, top_p, eos_ids, page_size, maxp,
+    kv_int8,
+):
+    """Batched partitioned-pool decode loop over a prefilled pool."""
+    b = lengths.shape[0]
+    pool_pages = pools[0].shape[1]
+    table = (jnp.arange(b)[:, None] * maxp
+             + jnp.arange(maxp)[None]).astype(jnp.int32)
+    if kv_int8:
+        from streamchat_tpu.models.paged_kv import (
+            PagedKVCacheInt8,
+            decode_step_paged_int8,
+        )
+
+        cache = PagedKVCacheInt8(
+            k_pages=pools[0], v_pages=pools[1],
+            k_scale=pools[2], v_scale=pools[3],
+            page_table=table, length=lengths,
+            next_free=jnp.asarray(pool_pages, jnp.int32),
+        )
+        step_fn = decode_step_paged_int8
+    else:
+        cache = PagedKVCache(
+            k_pages=pools[0], v_pages=pools[1], page_table=table,
+            length=lengths, next_free=jnp.asarray(pool_pages, jnp.int32),
+        )
+        step_fn = decode_step_paged
+    init_over = jnp.any(lengths + max_new_tokens > maxp * page_size)
+    hh = jnp.zeros((cfg.num_layers, cfg.num_kv_heads, 1), jnp.float32)
+    return _run_decode_loop(
+        params, cfg, cache, hh, first_logits, lengths, key,
+        max_new_tokens=max_new_tokens, temperature=temperature, top_p=top_p,
+        eos_ids=eos_ids, compress=False, hh_size=0, recent_size=0,
+        sink_size=4, merge=None, static_batched=True, step_fn=step_fn,
+        alloc_fn=None, b=b, num_pages=pool_pages, max_pages_per_seq=maxp,
+        page_size=page_size, init_over=init_over,
+    )
 
 
 @functools.partial(
@@ -338,6 +539,27 @@ def _generate_paged_jit(
             hh = prompt_hh
         else:
             hh = jnp.zeros((cfg.num_layers, cfg.num_kv_heads, 1), jnp.float32)
+
+    return _run_decode_loop(
+        params, cfg, cache, hh, first_logits, seq_length, key,
+        max_new_tokens=max_new_tokens, temperature=temperature, top_p=top_p,
+        eos_ids=eos_ids, compress=compress, hh_size=hh_size,
+        recent_size=recent_size, sink_size=sink_size, merge=merge,
+        static_batched=static_batched, step_fn=step_fn, alloc_fn=alloc_fn,
+        b=b, num_pages=num_pages, max_pages_per_seq=max_pages_per_seq,
+        page_size=page_size, init_over=init_over,
+    )
+
+
+def _run_decode_loop(
+    params, cfg, cache, hh, first_logits, seq_length, key, *,
+    max_new_tokens, temperature, top_p, eos_ids, compress, hh_size,
+    recent_size, sink_size, merge, static_batched, step_fn, alloc_fn,
+    b, num_pages, max_pages_per_seq, page_size, init_over,
+):
+    """The fused sample→(compress)→(alloc)→attend while_loop shared by the
+    one-program path (_generate_paged_jit) and the split batched path
+    (_decode_batched_jit). Must run inside a jit context."""
 
     def is_eos(tok):
         hit = jnp.zeros(tok.shape, bool)

@@ -379,17 +379,24 @@ class LongVA:
                 )
                 for p, embs, k in zip(prompts, image_embeddings, keys)
             ]
+        # Build equal-length rows WITHOUT a [B, S, D] concatenation: at
+        # caption geometry (3 x 23k x 3584 bf16) the spliced rows, their
+        # padded copies, and the concat together held ~1.4 GB of duplicate
+        # prompt embeddings across the whole generate call — enough to OOM
+        # the 15 GiB chip next to the page pool (round 3). generate_paged
+        # accepts the row list directly; intermediates are freed as we go.
         spliced = [
             self.splice_prompt(p, embs, bucket=bucket)
             for p, embs in zip(prompts, image_embeddings)
         ]
         max_pad = max(e.shape[1] for e, _ in spliced)
-        rows = [
-            jnp.pad(e, ((0, 0), (0, max_pad - e.shape[1]), (0, 0)))
-            for e, _ in spliced
-        ]
-        embeds = jnp.concatenate(rows, axis=0)
         lengths = jnp.asarray([n for _, n in spliced], jnp.int32)
+        rows = []
+        while spliced:
+            e, _ = spliced.pop(0)
+            if e.shape[1] < max_pad:
+                e = jnp.pad(e, ((0, 0), (0, max_pad - e.shape[1]), (0, 0)))
+            rows.append(e)
         common = dict(
             max_new_tokens=max_new_tokens,
             temperature=temperature,
@@ -401,12 +408,13 @@ class LongVA:
             from streamchat_tpu.models.generate_paged import generate_paged
 
             toks, count = generate_paged(
-                self.dec_params, self.dec_cfg, embeds, lengths, k,
+                self.dec_params, self.dec_cfg, rows, lengths, k,
                 **common, **self._paged_budget(max_pad, max_new_tokens),
             )
         else:
             toks, count = genlib.generate(
-                self.dec_params, self.dec_cfg, embeds, lengths, k, **common
+                self.dec_params, self.dec_cfg, jnp.concatenate(rows, axis=0),
+                lengths, k, **common
             )
         # Bulk transfer (see generate_with_image_embedding: per-token int()
         # readbacks cost a relay round trip each).
