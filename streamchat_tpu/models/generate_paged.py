@@ -206,6 +206,14 @@ def _generate_paged_split(
         )
         logits.append(lg)
         del er
+        # True barrier between rows: queued async executions allocate their
+        # temporaries at launch, so letting b prefills + the decode pile up
+        # in the dispatch queue holds b copies of the prefill workspace
+        # alive at once — observed as a caption-geometry OOM that a
+        # serialized run of the same shapes does not reproduce. A scalar
+        # readback is the only reliable sync on the relay
+        # (block_until_ready has returned before execution, CLAUDE.md).
+        float(lg[0])
     return _decode_batched_jit(
         params, pools, lengths, jnp.stack(logits), key,
         cfg=cfg, max_new_tokens=max_new_tokens, temperature=temperature,
