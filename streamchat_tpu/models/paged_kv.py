@@ -123,10 +123,12 @@ def has_overflowed(cache: PagedKVCache, need: Optional[jnp.ndarray] = None):
     return bool(over) if not isinstance(over, jax.core.Tracer) else over
 
 
-@jax.jit
 def append_token_kv(
     cache: PagedKVCache,
-    layer: jnp.ndarray,      # [] layer index
+    layer,                   # layer index — a PYTHON int from the unrolled
+                             # layer loop keeps the scatter start static
+                             # (no @jax.jit here: a jit boundary would
+                             # re-trace it into a dynamic index)
     k: jnp.ndarray,          # [B, Hkv, Dh] the new token's K
     v: jnp.ndarray,
 ) -> PagedKVCache:
@@ -138,23 +140,23 @@ def append_token_kv(
     )[:, 0]                                         # [B] pool page
     offset = cache.length % ps
 
+    # ONE batched scatter per tensor, straight into the [L, P, H, ps, D]
+    # pool (advanced indexing: [layer, page_idx[B], :, offset[B]] indexes a
+    # [B, H, D] window; distinct rows own distinct pages by construction).
+    # Two prior forms both re-materialized pool-sized buffers per call and
+    # made decode-step cost scale with POOL size — measured 219 ms/step at
+    # a 3x23k partitioned pool, and the long-unexplained 22 ms/tok (vs 9.9
+    # roofline) at 11.6k ctx:
+    #   * slice-out/write-back (`pages[layer]` -> `.at[layer].set`) with a
+    #     TRACED layer index (dynamic-start DUS defeats in-place analysis;
+    #     the contiguous path's static-index chain aliases fine);
+    #   * a per-row lax.scan whose carry was the full pool.
     def write(pages, val):
-        def per_row(pages, pi, off, val_row):
-            return pages.at[pi, :, off].set(val_row)
+        return pages.at[layer, page_idx, :, offset].set(val.astype(pages.dtype))
 
-        # Sequential scatter over rows (B is small in decode).
-        def body(pages, args):
-            pi, off, vr = args
-            return per_row(pages, pi, off, vr), None
-
-        pages, _ = jax.lax.scan(
-            body, pages, (page_idx, offset, val.astype(pages.dtype))
-        )
-        return pages
-
-    k_pages = cache.k_pages.at[layer].set(write(cache.k_pages[layer], k))
-    v_pages = cache.v_pages.at[layer].set(write(cache.v_pages[layer], v))
-    return cache._replace(k_pages=k_pages, v_pages=v_pages)
+    return cache._replace(
+        k_pages=write(cache.k_pages, k), v_pages=write(cache.v_pages, v)
+    )
 
 
 def advance(cache: PagedKVCache, tokens: jnp.ndarray) -> PagedKVCache:
@@ -280,9 +282,7 @@ def decode_step_paged(
         v = decoder._proj(h, p["attn"]["v"]).reshape(b, 1, hkv, dh).transpose(0, 2, 1, 3)
         q = decoder.rope(q, positions, cfg.rope_theta)
         k = decoder.rope(k, positions, cfg.rope_theta)
-        cache = append_token_kv(
-            cache, jnp.asarray(i), k[:, :, 0], v[:, :, 0]
-        )
+        cache = append_token_kv(cache, i, k[:, :, 0], v[:, :, 0])
         if collect_mass or jax.default_backend() != "tpu":
             # XLA gather path: also the only one that can return the H2O
             # attention-mass statistic (the kernel never materializes probs).
@@ -618,29 +618,18 @@ def append_token_kv_int8(
     )[:, 0]
     offset = cache.length % ps
 
+    # ONE batched scatter per tensor — see append_token_kv: both the
+    # slice-out/write-back and the per-row scan forms re-materialized
+    # pool-sized buffers per call.
     def write(pages, scales, val):
         vals, s = _quantize_kv(val)
-
-        def body(carry, args):
-            pages, scales = carry
-            pi, off, vr, sr = args
-            pages = pages.at[pi, :, off].set(vr)
-            scales = scales.at[pi, :, off].set(sr)
-            return (pages, scales), None
-
-        (pages, scales), _ = jax.lax.scan(
-            body, (pages, scales), (page_idx, offset, vals, s)
-        )
+        pages = pages.at[layer, page_idx, :, offset].set(vals)
+        scales = scales.at[layer, page_idx, :, offset].set(s)
         return pages, scales
 
-    kp, ks = write(cache.k_pages[layer], cache.k_scale[layer], k)
-    vp, vs = write(cache.v_pages[layer], cache.v_scale[layer], v)
-    return cache._replace(
-        k_pages=cache.k_pages.at[layer].set(kp),
-        k_scale=cache.k_scale.at[layer].set(ks),
-        v_pages=cache.v_pages.at[layer].set(vp),
-        v_scale=cache.v_scale.at[layer].set(vs),
-    )
+    kp, ks = write(cache.k_pages, cache.k_scale, k)
+    vp, vs = write(cache.v_pages, cache.v_scale, v)
+    return cache._replace(k_pages=kp, k_scale=ks, v_pages=vp, v_scale=vs)
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale",))
@@ -703,7 +692,7 @@ def decode_step_paged_int8(
         v = decoder._proj(h, p["attn"]["v"]).reshape(b, 1, hkv, dh).transpose(0, 2, 1, 3)
         q = decoder.rope(q, positions, cfg.rope_theta)
         k = decoder.rope(k, positions, cfg.rope_theta)
-        cache = append_token_kv_int8(cache, jnp.asarray(i), k[:, :, 0], v[:, :, 0])
+        cache = append_token_kv_int8(cache, i, k[:, :, 0], v[:, :, 0])
         if jax.default_backend() == "tpu" and sequential_pages:
             # Identity/partitioned row-order pool: 8-page all-head blocks,
             # static per-head scale slices (no one-hot) — see

@@ -27,6 +27,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from streamchat_tpu.ops.attention import DEFAULT_MASK_VALUE
 
+# Pages streamed per sequential-pool grid step. 8 pages (1 MB int8 KV per
+# step) left the kernel dominated by per-step fixed costs at long contexts:
+# 23k ctx = 23 blocks x 28 layers x ~15 us of grid overhead per decode
+# token. 32 pages (4 MB per step) amortizes it 4x; VMEM stays ~17 MB with
+# double buffering. Partitioned batched pools must round max_pages_per_seq
+# to this (generate_paged does).
+SEQ_POOL_BLOCK = 32
+
 
 def _paged_decode_kernel(
     table_ref,            # [B, maxp] int32 scalar prefetch
@@ -324,7 +332,7 @@ def paged_decode_attention_pallas_seq(
     v_pages: jnp.ndarray,
     length: jnp.ndarray,       # [B]
     sm_scale: float | None = None,
-    pages_per_block: int = 8,
+    pages_per_block: int = SEQ_POOL_BLOCK,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Decode attention for a SEQUENTIAL pool (identity/partitioned table).
@@ -412,7 +420,7 @@ def paged_decode_attention_pallas_seq_int8(
     v_scale: jnp.ndarray,
     length: jnp.ndarray,       # [B]
     sm_scale: float | None = None,
-    pages_per_block: int = 8,
+    pages_per_block: int = SEQ_POOL_BLOCK,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Int8-cache twin of paged_decode_attention_pallas_seq (incl. batched
