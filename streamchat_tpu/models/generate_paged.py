@@ -190,8 +190,8 @@ def _generate_paged_split(
         )
     else:
         pools = (
-            jnp.zeros((L, pool_pages, hkv, ps, dh), prompt_embeds.dtype),
-            jnp.zeros((L, pool_pages, hkv, ps, dh), prompt_embeds.dtype),
+            jnp.zeros((L, pool_pages, hkv, ps, dh), rows[0].dtype),
+            jnp.zeros((L, pool_pages, hkv, ps, dh), rows[0].dtype),
         )
     lengths = seq_length.astype(jnp.int32)
     logits = []
