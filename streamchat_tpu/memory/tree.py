@@ -38,10 +38,9 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
-
-from streamchat_tpu.ops.retrieval import cosine_scores
 
 # Caption text -> [E] embedding (batched: List[str] -> [N, E]).
 EmbedFn = Callable[[List[str]], jnp.ndarray]
@@ -183,12 +182,25 @@ class VisualMemoryTree:
         utiles.py:704-708). Returns (features per visited level, captions per
         visited level); empty lists when the tree has no summarized roots and
         no depth-0 leftovers.
+
+        Scoring runs on the HOST (numpy): node embeddings are cached host-side
+        and the per-level dot product is microseconds of CPU work, while every
+        device dispatch + readback costs 50-90 ms through the remote-TPU
+        relay — the device path made each answer's retrieval ~1.4 s of pure
+        round trips (E2E phase attribution, round 3). Matches
+        ops/retrieval.cosine_scores numerics (f32, eps 1e-12).
         """
-        q = jnp.asarray(query_emb)[None]                     # [1, E]
+        q = np.asarray(jax.device_get(query_emb), np.float32).reshape(-1)
+        qn = q / max(float(np.sqrt(np.sum(q * q))), 1e-12)
 
         def best(nodes: Sequence[MemoryTreeNode]) -> int:
-            embs = jnp.asarray(np.stack([n.emb for n in nodes]))
-            sims = np.asarray(cosine_scores(q, embs))[0]     # [N]
+            embs = np.stack(
+                [np.asarray(n.emb, np.float32) for n in nodes]
+            )                                                # [N, E]
+            norms = np.maximum(
+                np.sqrt(np.sum(embs * embs, axis=1, keepdims=True)), 1e-12
+            )
+            sims = (embs / norms) @ qn                       # [N]
             # Reference keeps index 0 unless some sim strictly beats 0
             # (best_sim starts at 0, strict >; utiles.py:721-744).
             idx = int(np.argmax(sims))
@@ -223,21 +235,25 @@ class VisualMemoryTree:
         embeddings (upgrade path over CLS pooling; ops/retrieval.maxsim_score).
 
         query_token_emb: [Tq, E] unpadded question token embeddings.
-        Requires the tree to have been built with embed_tokens_fn. Each
-        level's candidates are padded to a common token count and scored in
-        ONE maxsim_score call (a per-node dispatch costs 50-90 ms through
-        the remote-TPU tunnel).
+        Requires the tree to have been built with embed_tokens_fn. Scored on
+        the HOST (numpy) like `search`: token embeddings are cached host-side
+        and the MaxSim einsum over a level's candidates is well under a
+        millisecond of CPU work, vs 50-90 ms per device dispatch through the
+        remote-TPU relay. Matches ops/retrieval.maxsim_score numerics,
+        including the zero-pad-to-common-Td convention (padded rows
+        contribute similarity 0 to the per-query max).
         """
-        from streamchat_tpu.ops.retrieval import maxsim_score
-
-        q = jnp.asarray(query_token_emb)
+        q = np.asarray(jax.device_get(query_token_emb), np.float32)
+        qn = q / np.maximum(
+            np.sqrt(np.sum(q * q, axis=1, keepdims=True)), 1e-12
+        )                                                    # [Tq, E]
 
         def best(nodes: Sequence[MemoryTreeNode]) -> int:
             embs = []
             for n in nodes:
                 if n.token_emb is None:
                     raise ValueError("tree built without embed_tokens_fn")
-                embs.append(np.asarray(n.token_emb))
+                embs.append(np.asarray(n.token_emb, np.float32))
             td = max(e.shape[0] for e in embs)
             # Zero-pad to a common token count: zero rows l2-normalize to
             # zero vectors, so each padded row contributes similarity 0 to
@@ -246,7 +262,11 @@ class VisualMemoryTree:
             batch = np.zeros((len(embs), td, embs[0].shape[1]), np.float32)
             for i, e in enumerate(embs):
                 batch[i, : e.shape[0]] = e
-            scores = np.asarray(maxsim_score(q, jnp.asarray(batch)))
+            norms = np.maximum(
+                np.sqrt(np.sum(batch * batch, axis=2, keepdims=True)), 1e-12
+            )
+            sim = np.einsum("qd,ntd->nqt", qn, batch / norms)
+            scores = np.sum(np.max(sim, axis=2), axis=1)     # [N]
             return int(np.argmax(scores))
 
         return self._descend(best)
