@@ -74,6 +74,31 @@ def _seed_hh_from_prompt(cache: KVCache, num_probes: int = 16) -> jnp.ndarray:
     return jax.vmap(per_layer)(cache.k[:, 0]).astype(jnp.float32)
 
 
+def generate_paged_fetch(params, cfg, prompt_embeds, seq_length, key, **kwargs):
+    """generate_paged + host fetch in ONE device->host round trip.
+
+    Returns numpy (tokens [B, max_new], count [B]). generate_paged's
+    overflow check (`bool(over)`) is itself a blocking readback; callers
+    that immediately `jax.device_get` the tokens were paying a second
+    round trip (~50-90 ms each on the relayed backend). Here the flag rides
+    the same transfer as the tokens.
+    """
+    toks, count, over = _generate_paged_any(
+        params, cfg, prompt_embeds, seq_length, key, **kwargs
+    )
+    toks_np, count_np, over_np = jax.device_get((toks, count, over))
+    if bool(over_np):
+        raise RuntimeError(_OVERFLOW_MSG)
+    return toks_np, count_np
+
+
+_OVERFLOW_MSG = (
+    "paged KV allocator overflowed during decode: the page pool or a "
+    "row's page table ran out and H2O compression (if enabled) could "
+    "not free enough — output tokens would read another sequence's KV"
+)
+
+
 def generate_paged(
     params, cfg, prompt_embeds, seq_length, key, **kwargs
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -106,6 +131,16 @@ def generate_paged(
     this wrapper itself runs under an outer trace the flag cannot be
     checked; such callers get the raw flag via _generate_paged_jit.
     """
+    toks, count, over = _generate_paged_any(
+        params, cfg, prompt_embeds, seq_length, key, **kwargs
+    )
+    if not isinstance(over, jax.core.Tracer) and bool(over):
+        raise RuntimeError(_OVERFLOW_MSG)
+    return toks, count
+
+
+def _generate_paged_any(params, cfg, prompt_embeds, seq_length, key, **kwargs):
+    """Dispatch to the split or one-program path -> (toks, count, over)."""
     # prompt_embeds may be a LIST of equal-length [1, S, D] rows: callers at
     # long-prompt geometry avoid materializing the [B, S, D] concatenation
     # (and its ~0.5 GB copy) that only the fused path needs.
@@ -121,22 +156,62 @@ def generate_paged(
         and kwargs.get("max_pages_per_seq") is None
     )
     if split:
-        toks, count, over = _generate_paged_split(
+        return _generate_paged_split(
             params, cfg, prompt_embeds, seq_length, key, **kwargs
         )
-    else:
-        if as_rows:
-            prompt_embeds = jnp.concatenate(list(prompt_embeds), axis=0)
-        toks, count, over = _generate_paged_jit(
-            params, cfg, prompt_embeds, seq_length, key, **kwargs
+    if as_rows:
+        prompt_embeds = jnp.concatenate(
+            [r() if callable(r) else r for r in prompt_embeds], axis=0
         )
-    if not isinstance(over, jax.core.Tracer) and bool(over):
-        raise RuntimeError(
-            "paged KV allocator overflowed during decode: the page pool or a "
-            "row's page table ran out and H2O compression (if enabled) could "
-            "not free enough — output tokens would read another sequence's KV"
-        )
-    return toks, count
+    return _generate_paged_jit(
+        params, cfg, prompt_embeds, seq_length, key, **kwargs
+    )
+
+
+def _scatter_row_into_pools(pools, dense_vals, ri, maxp, page_size):
+    """Scatter ONE row's dense cache tensors into the partitioned pool slice
+    [ri*maxp, ri*maxp + ppr) WITHOUT a transposed page-layout intermediate.
+
+    from_contiguous* repages via transpose(page <-> head), which materializes
+    a full paged copy (~0.7 GB at 7B/23k int8) alongside the dense cache and
+    the pool — the margin that OOMed caption_batch=2 at chunk-40 geometry.
+    Here each head's pages are a pure bitcast reshape of the dense rows
+    ([L, 1, Hkv, ppr*ps(,Dh)] -> [L, Hkv, ppr, ps(,Dh)]), written with one
+    dynamic_update_slice per KV head (GQA: 4 at 7B) straight into the pool.
+    """
+    out = []
+    for pool, dense in zip(pools, dense_vals):
+        shape = dense.shape           # [L, 1, Hkv, S(,Dh)]
+        l, hkv, s_pad = shape[0], shape[2], shape[3]
+        ppr = s_pad // page_size
+        src = dense.reshape((l, hkv, ppr, page_size) + shape[4:])
+        for h in range(hkv):
+            upd = src[:, h][:, :, None]      # [L, ppr, 1, ps(,Dh)]
+            start = (0, ri * maxp, h, 0) + (0,) * (len(shape) - 4)
+            pool = jax.lax.dynamic_update_slice(
+                pool, upd.astype(pool.dtype), start
+            )
+        out.append(pool)
+    return tuple(out)
+
+
+def _dense_cache_vals(dense, kv_int8: bool):
+    """Pool-ordered dense tensors of a KVCache / Int8KVCache.
+
+    A SHORT kv_int8 prompt prefills into a bf16 dense cache (the
+    quantize-on-write Int8KVCache only pays off past the chunked-prefill
+    threshold); its values are quantized here on the way into the int8
+    pools — per-(token, head) scales, exactly like paged_kv._quantize_kv.
+    """
+    if hasattr(dense, "k_s"):
+        return (dense.k, dense.v, dense.k_s, dense.v_s)
+    if kv_int8:
+        from streamchat_tpu.models.paged_kv import _quantize_kv
+
+        k_i8, k_sc = _quantize_kv(dense.k)
+        v_i8, v_sc = _quantize_kv(dense.v)
+        return (k_i8, v_i8, k_sc, v_sc)
+    return (dense.k, dense.v)
 
 
 def _generate_paged_split(
@@ -161,15 +236,24 @@ def _generate_paged_split(
         # its pages land in the pool (the caller's [1, 23k, 3584] rows are
         # ~160 MB each — keeping b of them alive through the last prefill
         # is exactly the kind of caller-held reference that OOMs this chip,
-        # CLAUDE.md round-3 landmines).
+        # CLAUDE.md round-3 landmines). Entries after the first may be
+        # CALLABLES producing the row: the caller (batched caption splice)
+        # then never materializes row r's prompt before row r-1's pages
+        # have landed — (b-1) x ~160 MB of headroom at caption geometry.
         rows = prompt_embeds if isinstance(prompt_embeds, list) else list(
             prompt_embeds
         )
+        if callable(rows[0]):
+            rows[0] = rows[0]()
         b, s = len(rows), rows[0].shape[1]
-        if any(r.shape != rows[0].shape for r in rows):
+        shape0 = rows[0].shape
+        if any(
+            not callable(r) and r.shape != shape0 for r in rows
+        ):
             raise ValueError("row list must hold equal-shape [1, S, D] rows")
     else:
         b, s, _ = prompt_embeds.shape
+        shape0 = (1,) + prompt_embeds.shape[1:]
         rows = [prompt_embeds[r:r + 1] for r in range(b)]
     align = (
         math.lcm(page_size, 128) if s > CHUNKED_PREFILL_THRESHOLD else page_size
@@ -198,6 +282,13 @@ def _generate_paged_split(
     for r in range(b):
         er = rows[r]
         rows[r] = None                 # free each row as soon as it's paged
+        if callable(er):
+            er = er()
+            if er.shape != shape0:
+                raise ValueError(
+                    f"lazy row {r} produced shape {er.shape}, expected "
+                    f"{shape0}"
+                )
         if s_pad > s:
             er = jnp.pad(er, ((0, 0), (0, s_pad - s), (0, 0)))
         pools, lg = _prefill_row_jit(
@@ -248,20 +339,9 @@ def _prefill_row_jit(
     else:
         dense_r = KVCache.create(cfg, 1, s_pad, dtype=embeds_r.dtype)
     logits_r, dense_r = _prefill_inline(params, cfg, embeds_r, dense_r, len_r)
-    if kv_int8:
-        from streamchat_tpu.models.paged_kv import from_contiguous_int8
-
-        paged_r = from_contiguous_int8(dense_r, ppr, ppr, page_size)
-        row_vals = (paged_r.k_pages, paged_r.v_pages,
-                    paged_r.k_scale, paged_r.v_scale)
-    else:
-        paged_r = from_contiguous(dense_r, ppr, ppr, page_size)
-        row_vals = (paged_r.k_pages, paged_r.v_pages)
-    pools = tuple(
-        jax.lax.dynamic_update_slice(
-            pool, val, (0, ri * maxp) + (0,) * (pool.ndim - 2)
-        )
-        for pool, val in zip(pools, row_vals)
+    del ppr  # pages implied by s_pad; kept in the signature for shape keying
+    pools = _scatter_row_into_pools(
+        pools, _dense_cache_vals(dense_r, kv_int8), ri, maxp, page_size
     )
     return pools, logits_r[0]
 
@@ -407,14 +487,9 @@ def _generate_paged_jit(
         # NOTE: import only names absent from module scope — a local
         # `from ... import from_contiguous` here would shadow the module-
         # level binding across the WHOLE function (UnboundLocalError in the
-        # else branch). from_contiguous_int8 is bound locally in BOTH
-        # branches for the same reason.
-        from streamchat_tpu.models.paged_kv import (
-            PagedKVCacheInt8,
-            from_contiguous_int8,
-        )
+        # else branch).
+        from streamchat_tpu.models.paged_kv import PagedKVCacheInt8
 
-        ppr = s_pad // page_size
         maxp = max_pages_per_seq
 
         def row_prefill(pools, xs):
@@ -423,18 +498,8 @@ def _generate_paged_jit(
             logits_r, dense_r = _prefill_inline(
                 params, cfg, embeds_r[None], dense_r, len_r[None]
             )
-            if kv_int8:
-                paged_r = from_contiguous_int8(dense_r, ppr, ppr, page_size)
-                row_vals = (paged_r.k_pages, paged_r.v_pages,
-                            paged_r.k_scale, paged_r.v_scale)
-            else:
-                paged_r = from_contiguous(dense_r, ppr, ppr, page_size)
-                row_vals = (paged_r.k_pages, paged_r.v_pages)
-            pools = tuple(
-                jax.lax.dynamic_update_slice(
-                    pool, val, (0, ri * maxp) + (0,) * (pool.ndim - 2)
-                )
-                for pool, val in zip(pools, row_vals)
+            pools = _scatter_row_into_pools(
+                pools, _dense_cache_vals(dense_r, kv_int8), ri, maxp, page_size
             )
             return pools, logits_r[0]
 

@@ -71,6 +71,10 @@ class LongVA:
     # caption/summary prompts are CONSTANT text, and each eager embed_tokens
     # dispatch costs 50-90 ms through the remote-TPU relay.
     _text_cache: dict = dataclasses.field(default_factory=dict, repr=False)
+    # Cached zero pad blocks keyed by (rows, dim, dtype): the splice pads
+    # every prompt to its bucket, and building the pad eagerly per call was
+    # two extra relay dispatches (zeros + second concatenate).
+    _pad_cache: dict = dataclasses.field(default_factory=dict, repr=False)
 
     # ------------------------------------------------------------------
     # Construction
@@ -149,6 +153,7 @@ class LongVA:
             self.dec_params, decoder_pspecs(self.dec_cfg, quantized=quantized), mesh
         )
         self._text_cache.clear()    # cached embeds hold pre-shard placement
+        self._pad_cache.clear()
         return self
 
     def quantize(self, quantize_embed: bool = False, bits: int = 8) -> "LongVA":
@@ -167,6 +172,7 @@ class LongVA:
             self.dec_params, quantize_embed=quantize_embed, bits=bits
         )
         self._text_cache.clear()    # embedding table may have changed
+        self._pad_cache.clear()
         return self
 
     # ------------------------------------------------------------------
@@ -238,17 +244,67 @@ class LongVA:
                 text_run.append(tid)
         flush_text()
 
-        embeds = jnp.concatenate(segments, axis=0)
         limit = max_len or self.dec_cfg.max_position_embeddings
-        embeds = embeds[:limit]
-        length = embeds.shape[0]
+        length = sum(s.shape[0] for s in segments)
+        if length > limit:
+            embeds = jnp.concatenate(segments, axis=0)[:limit]
+            segments = [embeds]
+            length = limit
         if bucket is None:
             bucket = self.prompt_bucket
         padded = genlib.pad_to_bucket(length, bucket, minimum=bucket)
         if padded > length:
-            pad = jnp.zeros((padded - length, embeds.shape[1]), embeds.dtype)
-            embeds = jnp.concatenate([embeds, pad], axis=0)
+            # The pad block joins the SAME concatenate below (one device op
+            # instead of concat -> zeros -> concat: each eager dispatch costs
+            # 50-90 ms through the relay) and is cached per (rows, dtype) —
+            # bucketing bounds the distinct shapes.
+            pkey = (padded - length, segments[0].shape[1], str(dtype))
+            pad = self._pad_cache.get(pkey)
+            if pad is None:
+                pad = jnp.zeros((padded - length, segments[0].shape[1]), dtype)
+                if len(self._pad_cache) >= 32:
+                    self._pad_cache.pop(next(iter(self._pad_cache)))
+                self._pad_cache[pkey] = pad
+            segments = list(segments) + [pad]
+        embeds = (
+            segments[0] if len(segments) == 1
+            else jnp.concatenate(segments, axis=0)
+        )
         return embeds[None], length
+
+    def _splice_length(
+        self,
+        prompt: str,
+        image_embeddings: Optional[Sequence[jnp.ndarray]],
+        bucket: Optional[int] = None,
+        max_len: Optional[int] = None,
+    ) -> Tuple[int, int]:
+        """(padded, valid) lengths splice_prompt would produce — computed
+        ENTIRELY on the host (tokenize + arithmetic, no device ops), so
+        batched callers can size pools and defer each row's actual splice
+        until its prefill turn (generate_paged's lazy rows)."""
+        ids = tokenize_with_image_token(prompt, self.tokenizer)
+        total = 0
+        img_idx = 0
+        for tid in ids:
+            if tid == IMAGE_TOKEN_INDEX:
+                if image_embeddings is None or img_idx >= len(image_embeddings):
+                    raise ValueError(
+                        "prompt has more <image> tokens than embeddings"
+                    )
+                feats = image_embeddings[img_idx]
+                img_idx += 1
+                n = 1
+                for s in feats.shape[:-1]:
+                    n *= s
+                total += n
+            else:
+                total += 1
+        limit = max_len or self.dec_cfg.max_position_embeddings
+        length = min(total, limit)
+        if bucket is None:
+            bucket = self.prompt_bucket
+        return genlib.pad_to_bucket(length, bucket, minimum=bucket), length
 
     # ------------------------------------------------------------------
     # Generation
@@ -278,9 +334,12 @@ class LongVA:
             eos_ids=tuple(self.tokenizer.eos_ids),
         )
         if self.decode_backend == "paged":
-            from streamchat_tpu.models.generate_paged import generate_paged
+            from streamchat_tpu.models.generate_paged import generate_paged_fetch
 
-            toks, count = generate_paged(
+            # Fetch variant: the overflow flag rides the same device->host
+            # transfer as the tokens (a separate bool(over) readback costs
+            # an extra ~50-90 ms relay round trip per generate).
+            toks_np, count_np = generate_paged_fetch(
                 self.dec_params,
                 self.dec_cfg,
                 embeds,
@@ -289,6 +348,7 @@ class LongVA:
                 **common,
                 **self._paged_budget(embeds.shape[1], max_new_tokens),
             )
+            t2 = t3 = _time.time()
         else:
             toks, count = genlib.generate(
                 self.dec_params,
@@ -298,12 +358,13 @@ class LongVA:
                 key if key is not None else self.keys(),
                 **common,
             )
-        # ONE bulk device->host transfer: `int(t) for t in toks[0][:n]` on a
-        # device array issues a slice dispatch + readback PER TOKEN, which on
-        # the ~50-90 ms/call relayed backend costs seconds per generation.
-        t2 = _time.time()
-        toks_np, count_np = jax.device_get((toks, count))
-        t3 = _time.time()
+            # ONE bulk device->host transfer: `int(t) for t in toks[0][:n]`
+            # on a device array issues a slice dispatch + readback PER
+            # TOKEN, which on the ~50-90 ms/call relayed backend costs
+            # seconds per generation.
+            t2 = _time.time()
+            toks_np, count_np = jax.device_get((toks, count))
+            t3 = _time.time()
         # Wall-clock attribution of the last generate call (splice includes
         # any host->device ride of offloaded image embeddings; generate is
         # the prefill+decode program; fetch is the token readback). Read by
@@ -383,20 +444,27 @@ class LongVA:
         # caption geometry (3 x 23k x 3584 bf16) the spliced rows, their
         # padded copies, and the concat together held ~1.4 GB of duplicate
         # prompt embeddings across the whole generate call — enough to OOM
-        # the 15 GiB chip next to the page pool (round 3). generate_paged
-        # accepts the row list directly; intermediates are freed as we go.
-        spliced = [
-            self.splice_prompt(p, embs, bucket=bucket)
+        # the 15 GiB chip next to the page pool (round 3). Rows after the
+        # first are LAZY (generate_paged materializes each at its prefill
+        # turn — row sizes come from the host-only _splice_length), so at
+        # most one ~160 MB spliced row exists before its pages land.
+        sizes = [
+            self._splice_length(p, embs, bucket=bucket)
             for p, embs in zip(prompts, image_embeddings)
         ]
-        max_pad = max(e.shape[1] for e, _ in spliced)
-        lengths = jnp.asarray([n for _, n in spliced], jnp.int32)
-        rows = []
-        while spliced:
-            e, _ = spliced.pop(0)
+        max_pad = max(padded for padded, _ in sizes)
+        lengths = jnp.asarray([n for _, n in sizes], jnp.int32)
+
+        def make_row(p, embs):
+            e, _ = self.splice_prompt(p, embs, bucket=bucket)
             if e.shape[1] < max_pad:
                 e = jnp.pad(e, ((0, 0), (0, max_pad - e.shape[1]), (0, 0)))
-            rows.append(e)
+            return e
+
+        rows = [make_row(prompts[0], image_embeddings[0])] + [
+            (lambda p=p, embs=embs: make_row(p, embs))
+            for p, embs in zip(prompts[1:], image_embeddings[1:])
+        ]
         common = dict(
             max_new_tokens=max_new_tokens,
             temperature=temperature,
@@ -405,20 +473,23 @@ class LongVA:
         )
         k = key if key is not None else self.keys()
         if self.decode_backend == "paged" and self.kv_budget_tokens is None:
-            from streamchat_tpu.models.generate_paged import generate_paged
+            from streamchat_tpu.models.generate_paged import generate_paged_fetch
 
-            toks, count = generate_paged(
+            toks_np, count_np = generate_paged_fetch(
                 self.dec_params, self.dec_cfg, rows, lengths, k,
                 **common, **self._paged_budget(max_pad, max_new_tokens),
             )
         else:
             toks, count = genlib.generate(
-                self.dec_params, self.dec_cfg, jnp.concatenate(rows, axis=0),
+                self.dec_params, self.dec_cfg,
+                jnp.concatenate(
+                    [r() if callable(r) else r for r in rows], axis=0
+                ),
                 lengths, k, **common
             )
-        # Bulk transfer (see generate_with_image_embedding: per-token int()
-        # readbacks cost a relay round trip each).
-        toks_np, count_np = jax.device_get((toks, count))
+            # Bulk transfer (see generate_with_image_embedding: per-token
+            # int() readbacks cost a relay round trip each).
+            toks_np, count_np = jax.device_get((toks, count))
         return [
             self.tokenizer.decode(toks_np[row][: int(count_np[row])].tolist()).strip()
             for row in range(len(prompts))

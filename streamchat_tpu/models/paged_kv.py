@@ -277,9 +277,7 @@ def decode_step_paged(
 
     for i, p in enumerate(params["layers"]):
         h = decoder.rmsnorm(x, p["input_norm"], cfg.rms_eps)
-        q = decoder._proj(h, p["attn"]["q"]).reshape(b, 1, hq, dh).transpose(0, 2, 1, 3)
-        k = decoder._proj(h, p["attn"]["k"]).reshape(b, 1, hkv, dh).transpose(0, 2, 1, 3)
-        v = decoder._proj(h, p["attn"]["v"]).reshape(b, 1, hkv, dh).transpose(0, 2, 1, 3)
+        q, k, v = decoder.qkv_proj(h, p["attn"], b, 1, hq, hkv, dh)
         q = decoder.rope(q, positions, cfg.rope_theta)
         k = decoder.rope(k, positions, cfg.rope_theta)
         cache = append_token_kv(cache, i, k[:, :, 0], v[:, :, 0])
@@ -323,11 +321,7 @@ def decode_step_paged(
         o = o.transpose(0, 2, 1, 3).reshape(b, 1, hq * dh)
         x = x + decoder._proj(o, p["attn"]["o"])
         hmid = decoder.rmsnorm(x, p["post_norm"], cfg.rms_eps)
-        gated = jax.nn.silu(
-            decoder._mm(hmid, p["mlp"]["gate"]).astype(jnp.float32)
-        ).astype(hmid.dtype)
-        x = x + decoder._mm(gated * decoder._mm(hmid, p["mlp"]["up"]),
-                            p["mlp"]["down"])
+        x = x + decoder.mlp_block(hmid, p["mlp"])
 
     x = decoder.rmsnorm(x, params["final_norm"], cfg.rms_eps)
     logits = decoder.logits_from_hidden(params, cfg, x)[:, 0]
@@ -687,9 +681,7 @@ def decode_step_paged_int8(
 
     for i, p in enumerate(params["layers"]):
         h = decoder.rmsnorm(x, p["input_norm"], cfg.rms_eps)
-        q = decoder._proj(h, p["attn"]["q"]).reshape(b, 1, hq, dh).transpose(0, 2, 1, 3)
-        k = decoder._proj(h, p["attn"]["k"]).reshape(b, 1, hkv, dh).transpose(0, 2, 1, 3)
-        v = decoder._proj(h, p["attn"]["v"]).reshape(b, 1, hkv, dh).transpose(0, 2, 1, 3)
+        q, k, v = decoder.qkv_proj(h, p["attn"], b, 1, hq, hkv, dh)
         q = decoder.rope(q, positions, cfg.rope_theta)
         k = decoder.rope(k, positions, cfg.rope_theta)
         cache = append_token_kv_int8(cache, i, k[:, :, 0], v[:, :, 0])
@@ -724,11 +716,7 @@ def decode_step_paged_int8(
         o = o.transpose(0, 2, 1, 3).reshape(b, 1, hq * dh)
         x = x + decoder._proj(o, p["attn"]["o"])
         hmid = decoder.rmsnorm(x, p["post_norm"], cfg.rms_eps)
-        gated = jax.nn.silu(
-            decoder._mm(hmid, p["mlp"]["gate"]).astype(jnp.float32)
-        ).astype(hmid.dtype)
-        x = x + decoder._mm(gated * decoder._mm(hmid, p["mlp"]["up"]),
-                            p["mlp"]["down"])
+        x = x + decoder.mlp_block(hmid, p["mlp"])
 
     x = decoder.rmsnorm(x, params["final_norm"], cfg.rms_eps)
     logits = decoder.logits_from_hidden(params, cfg, x)[:, 0]

@@ -40,25 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 GROUP = 128          # quantization group size (quantize_weight_int4 default)
 
 
-def _kernel(
-    x_ref,            # [8, bk] bf16      (rows padded to 8)
-    w_ref,            # [bk, bo] int8     (packed bytes)
-    s_ref,            # [gpb, 2, bo] f32  (group scales, both halves)
-    o_ref,            # [8, 2, bo] f32
-    acc_lo,           # [8, bo] f32 scratch
-    acc_hi,
-    *,
-    gpb: int,
-    num_k: int,
-    num_groups: int,
-):
-    k = pl.program_id(1)
-
-    @pl.when(k == 0)
-    def _init():
-        acc_lo[...] = jnp.zeros_like(acc_lo)
-        acc_hi[...] = jnp.zeros_like(acc_hi)
-
+def _accumulate_block(x_ref, w_ref, s_ref, acc_lo, acc_hi, k, gpb, num_groups):
     # Algebraic unpack — 2 single-byte VPU bit-ops instead of the naive 5
     # wide ones. One xor biases the LOW nibble: with b = (w_lo & 15) |
     # ((w_hi & 15) << 4), flipping bit 3 gives bx = b ^ 8 whose low nibble
@@ -96,6 +78,61 @@ def _kernel(
         acc_lo[...] += jnp.where(valid, p_lo * s_ref[gs, 0][None], 0.0)
         acc_hi[...] += jnp.where(valid, p_hi * s_ref[gs, 1][None], 0.0)
 
+
+def _kernel(
+    x_ref,            # [8, bk] bf16      (rows padded to 8)
+    w_ref,            # [bk, bo] int8     (packed bytes)
+    s_ref,            # [gpb, 2, bo] f32  (group scales, both halves)
+    o_ref,            # [8, 2, bo] f32
+    acc_lo,           # [8, bo] f32 scratch
+    acc_hi,
+    *,
+    gpb: int,
+    num_k: int,
+    num_groups: int,
+):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_lo[...] = jnp.zeros_like(acc_lo)
+        acc_hi[...] = jnp.zeros_like(acc_hi)
+
+    _accumulate_block(x_ref, w_ref, s_ref, acc_lo, acc_hi, k, gpb, num_groups)
+
+    @pl.when(k == num_k - 1)
+    def _store():
+        o_ref[:, 0] = acc_lo[...]
+        o_ref[:, 1] = acc_hi[...]
+
+
+def _kernel_fused(
+    x_ref,            # [8, bk] bf16
+    *refs,            # (w0, s0, w1, s1, ...), o_ref, acc_lo, acc_hi
+    layout,           # tuple of (block_offset, num_blocks) per part
+    gpb: int,
+    num_k: int,
+    num_groups: int,
+):
+    o_ref, acc_lo, acc_hi = refs[-3], refs[-2], refs[-1]
+    j = pl.program_id(0)
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_lo[...] = jnp.zeros_like(acc_lo)
+        acc_hi[...] = jnp.zeros_like(acc_hi)
+
+    # One part is active per j step (its grid-segment); the inactive parts'
+    # index maps pin to their first/last block so no DMA is issued for them.
+    for p, (off, njp) in enumerate(layout):
+        w_ref, s_ref = refs[2 * p], refs[2 * p + 1]
+
+        @pl.when(jnp.logical_and(j >= off, j < off + njp))
+        def _go(w_ref=w_ref, s_ref=s_ref):
+            _accumulate_block(x_ref, w_ref, s_ref, acc_lo, acc_hi, k, gpb,
+                              num_groups)
+
     @pl.when(k == num_k - 1)
     def _store():
         o_ref[:, 0] = acc_lo[...]
@@ -109,7 +146,7 @@ def qmatvec_int4(
     x: jnp.ndarray,           # [N, in] bf16, N <= 8
     w_i4p: jnp.ndarray,       # [in, out/2] int8 packed
     scale: jnp.ndarray,       # [g, 2, out/2] f32
-    block_out: int = 512,
+    block_out: int = 256,
     groups_per_block: int = 32,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -158,3 +195,103 @@ def qmatvec_int4(
         interpret=interpret,
     )(x, w_i4p, scale)
     return out[:n, :, :oh].reshape(n, 2 * oh)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_out", "groups_per_block", "interpret")
+)
+def qmatvec_int4_fused(
+    x: jnp.ndarray,           # [N, in] bf16, N <= 8
+    *flat,                    # w0, s0, w1, s1, ... (packed bytes + scales)
+    block_out: int = 256,
+    groups_per_block: int = 32,
+    interpret: bool = False,
+) -> tuple:
+    """x @ W_p for several packed-int4 weights sharing the input dim.
+
+    ONE pallas_call serves every part: the grid's j axis is segmented, one
+    segment per weight, and each part's BlockSpec index map clamps to its
+    own segment — outside it the index is pinned, so no DMA is issued for
+    inactive parts and total weight traffic equals the sum of the separate
+    calls. What it saves is per-call overhead: a decode step at 7B issues
+    196 matvec kernels (7 per layer x 28); fusing q/k/v and gate/up cuts
+    that to 4 per layer, and the 8-row x pad is shared instead of repeated.
+
+    Parts narrower than block_out (e.g. the GQA k/v projections) ride a
+    single edge block whose out-of-range columns hold garbage — sliced off
+    per part below, same as the single-weight kernel's ragged j edge.
+
+    Returns one [N, out_p] f32 array per part.
+    """
+    n, kin = x.shape
+    parts = [(flat[i], flat[i + 1]) for i in range(0, len(flat), 2)]
+    g = parts[0][1].shape[0]
+    if kin // g != GROUP:
+        raise ValueError(f"expected group size {GROUP}, got {kin // g}")
+    for w, s in parts:
+        if w.shape[0] != kin or s.shape[0] != g:
+            raise ValueError("fused parts must share the input dim / groups")
+    if n > 8:
+        raise ValueError(f"matvec kernel serves <=8 rows, got {n}")
+    gpb = min(groups_per_block, g)
+    bk = gpb * GROUP
+    nk = -(-g // gpb)
+    bo = min(block_out, max(-(-w.shape[1] // 128) * 128 for w, _ in parts))
+
+    layout = []
+    off = 0
+    for w, _ in parts:
+        njp = -(-w.shape[1] // bo)
+        layout.append((off, njp))
+        off += njp
+    nj_total = off
+
+    if n < 8:
+        x = jnp.pad(x, ((0, 8 - n), (0, 0)))
+
+    def w_spec(off_p, njp):
+        return pl.BlockSpec(
+            (bk, bo),
+            lambda j, k, off_p=off_p, njp=njp: (
+                k, jnp.clip(j - off_p, 0, njp - 1)
+            ),
+        )
+
+    def s_spec(off_p, njp):
+        return pl.BlockSpec(
+            (gpb, 2, bo),
+            lambda j, k, off_p=off_p, njp=njp: (
+                k, 0, jnp.clip(j - off_p, 0, njp - 1)
+            ),
+        )
+
+    in_specs = [pl.BlockSpec((8, bk), lambda j, k: (0, k))]
+    operands = [x]
+    for (w, s), (off_p, njp) in zip(parts, layout):
+        in_specs.extend([w_spec(off_p, njp), s_spec(off_p, njp)])
+        operands.extend([w, s])
+
+    kernel = functools.partial(
+        _kernel_fused, layout=tuple(layout), gpb=gpb, num_k=nk, num_groups=g,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(nj_total, nk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((8, 2, bo), lambda j, k: (0, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((8, 2, nj_total * bo), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((8, bo), jnp.float32),
+            pltpu.VMEM((8, bo), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*operands)
+    results = []
+    for (w, _), (off_p, njp) in zip(parts, layout):
+        oh = w.shape[1]
+        seg = out[:n, :, off_p * bo:off_p * bo + njp * bo]
+        results.append(seg[:, :, :oh].reshape(n, 2 * oh))
+    return tuple(results)

