@@ -412,11 +412,44 @@ def paged_generation_exact():
     return float(np.max(np.abs(np.asarray(t1) - np.asarray(t2))))
 
 
+def int4_matvec_kernels_vs_dequant():
+    """qmatvec_int4 + the fused qkv/gate-up variant vs the bf16 dequant
+    matmul at 7B projection shapes (xor-bias unpack, block_out=256)."""
+    from streamchat_tpu.ops.int4_matmul import qmatvec_int4, qmatvec_int4_fused
+    from streamchat_tpu.ops.quant import (
+        dequantize_weight_int4, quantize_weight_int4,
+    )
+
+    kin = 3584
+    x = jax.random.normal(jax.random.key(1), (1, kin), jnp.bfloat16)
+    worst = 0.0
+    qs, wants = [], []
+    for i, out in enumerate((3584, 512, 512)):       # q/k/v widths
+        w = jax.random.normal(jax.random.key(10 + i), (kin, out),
+                              jnp.float32) * 0.02
+        q = quantize_weight_int4(w)
+        qs.append(q)
+        want = np.asarray(x @ dequantize_weight_int4(q, jnp.bfloat16),
+                          np.float32)
+        wants.append(want)
+        got = np.asarray(qmatvec_int4(x, q["w_i4p"], q["scale"]))
+        worst = max(worst, _err(got, want))
+    flat = []
+    for q in qs:
+        flat.extend([q["w_i4p"], q["scale"]])
+    fused = qmatvec_int4_fused(x, *flat)
+    for got, want in zip(fused, wants):
+        worst = max(worst, _err(np.asarray(got), want))
+    return worst
+
+
 def main():
     if jax.default_backend() != "tpu":
         print("SKIP: not on a TPU backend")
         return 0
     ok = True
+    ok &= check("int4_matvec+fused(7B shapes)",
+                int4_matvec_kernels_vs_dequant, 2e-2)
     ok &= check("flash_decoder_prefill(4k,GQA)", flash_decoder_prefill, 2e-2)
     ok &= check("flash_vit(577,non-causal)", flash_vit_shape, 2e-2)
     ok &= check("flash_ragged_grid(1408)", flash_ragged_grid, 2e-2)

@@ -524,6 +524,23 @@ def main():
             proj / nq * 2500 / 3600, 1
         )
         report["projection"]["roofline_factors"] = factors
+        # Host-attached variant: every number above is measured THROUGH the
+        # axon relay, where each eager dispatch/readback costs 50-90 ms; a
+        # host-attached v5p-8 pays ~1-5 ms. Host-bound phases (retrieval,
+        # history, store, per-call splice/fetch overhead inside caption/
+        # answer) shrink ~10x there. Modeled by re-running the sum with the
+        # 1x phases at 10x and the caption/answer host slice (measured
+        # ~0.5 s/call of their totals) moved from 2x to 10x.
+        host_phases = ["history", "store", "answer.retrieval"]
+        proj_host = sum(
+            warm.get(p, 0.0) / (10.0 if p in host_phases else factors[p])
+            for p in top_level
+        )
+        proj_host += mem_other / 4.0 + ans_other / 10.0
+        proj_host += max(0.0, wall - attributed) / 10.0
+        report["projection"]["v5p8_hours_hostattached"] = round(
+            proj_host / nq * 2500 / 3600, 1
+        )
     with open(args.out, "w", encoding="utf-8") as f:
         json.dump(report, f, indent=2)
     log(f"wrote {args.out}")
