@@ -68,6 +68,11 @@ def parse_args(argv=None):
                         "made chunk-40 fit before int8 dense prefill existed "
                         "but taxes every caption with a ~165 MB relay H2D; "
                         "with Int8KVCache prefill chunk-40 fits without it")
+    p.add_argument("--offload_residents", action="store_true",
+                   help="park the idle ViT/projector/embedder trees in host "
+                        "RAM during each segment's caption loop "
+                        "(utils/offload.py): buys the ~1.3 GB margin "
+                        "caption_batch=2 at chunk_size=40 needs on one chip")
     p.add_argument("--out", default=os.path.join(REPO, "E2E_7B_GEOMETRY.json"))
     p.add_argument("--segments", type=int, default=2,
                    help="breakpoints per video (2 = the proven axon "
@@ -210,6 +215,7 @@ def stage1_pipeline(report, args):
     )
     report["chunk_size"] = args.chunk_size
     report["offload_chunks"] = args.offload_chunks
+    report["offload_residents"] = args.offload_residents
     report["caption_batch"] = args.caption_batch
 
     cfg = PipelineConfig(
@@ -219,6 +225,7 @@ def stage1_pipeline(report, args):
             remember_window=V03["remember_window"], tau=V03["tau"],
             compress_rate=V03["compress_rate"],
             offload_chunks=args.offload_chunks,
+            offload_residents=args.offload_residents,
         ),
         # Visual-token budget keeps the answer prompt inside ONE 12288
         # bucket as the tree deepens (unbounded retrieval compiled a third
@@ -355,6 +362,12 @@ def stage1_pipeline(report, args):
             round(state["splice"], 2), round(state["generate"], 2),
             round(state["fetch"], 2),
         ]
+        if pipe.residents is not None:
+            report["offload_residents_s"] = {
+                "d2h_total": round(pipe.residents.offload_s, 2),
+                "h2d_dispatch_total": round(pipe.residents.restore_s, 2),
+                "host_bytes_mb": round(pipe.residents.host_bytes() / 1e6, 1),
+            }
         log(f"stage 1 warm done: {warm_wall:.1f}s for {len(results2)} "
             f"questions; phases {pipe.last_phase_totals}")
     except Exception as e:  # noqa: BLE001 - derive steady state from cold

@@ -32,6 +32,12 @@ class MemoryConfig:
     # the long caption prefills need at chunk_size=40 / 7B geometry; costs
     # one extra H2D per caption, so off by default for small-model runs.
     offload_chunks: bool = False
+    # Park the IDLE weight trees (ViT + projector + both text embedders,
+    # ~1.3 GB at production geometry) in host RAM for the duration of each
+    # segment's caption loop (utils/offload.WeightOffloader). Frees the
+    # margin batched captioning (caption_batch>1) needs at chunk_size=40 on
+    # one 16 GB chip; costs one async H2D per tree per segment to restore.
+    offload_residents: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

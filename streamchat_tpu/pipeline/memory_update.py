@@ -90,6 +90,7 @@ def update_memory(
     cfg: MemoryConfig,
     key: jax.Array,
     cluster_full_chunks: bool = True,
+    residents=None,               # utils/offload.WeightOffloader or None
 ) -> Tuple[VisualMemoryTree, jnp.ndarray]:
     """One segment's memory update. Returns (tree, short_memory [R, P, D]).
 
@@ -102,6 +103,13 @@ def update_memory(
     frame the stack's only owner so `del` after chunking actually frees the
     ~1 GB of HBM the long caption prefills need (a caller-held reference
     would pin it).
+
+    `residents` (a WeightOffloader over the ViT/projector/embedder trees)
+    is offloaded to host RAM for the duration of the caption loop — none of
+    those weights are touched until `tree.add_chunks` re-embeds the new
+    captions — and restored just before that call. This is what lets
+    caption_batch=2 at chunk_size=40 fit one 16 GB chip (see
+    utils/offload.py).
     """
     if isinstance(features, list):
         features = features.pop()
@@ -127,6 +135,9 @@ def update_memory(
     group_size = getattr(caption_fn, "batch_size", 1)
     if batch_fn is None:
         group_size = 1
+    if residents is not None:
+        # The caption loop is decoder-only; every other weight tree idles.
+        residents.offload()
     groups: List[List] = [
         raw_chunks[i : i + group_size]
         for i in range(0, len(raw_chunks), group_size)
@@ -151,5 +162,11 @@ def update_memory(
         else:
             captions.extend(batch_fn(cur))
         del cur
+    if residents is not None:
+        # add_chunks embeds the captions (tree_embedder) and the next
+        # ingest needs the ViT back; the device is quiet right now, which
+        # is the cheap moment to issue the H2D puts (probe_put.py: puts
+        # overlapped with in-flight compute serialize badly on the relay).
+        residents.restore()
     tree.add_chunks(node_feats, captions)
     return tree, short

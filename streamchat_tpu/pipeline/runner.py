@@ -70,6 +70,21 @@ class StreamChatPipeline:
         self.cfg = cfg
         self._caption = make_captioner(model, cfg.sampling)
         self._summarize = make_summarizer(model, cfg.sampling)
+        # Caption-phase resident offload (utils/offload.py): park the
+        # ViT/projector/embedder trees host-side while the decoder runs the
+        # long caption prefills. Opt-in — it buys the ~1.3 GB margin that
+        # caption_batch>1 at chunk_size=40 needs on one 16 GB chip.
+        self.residents = None
+        if cfg.memory.offload_residents:
+            from streamchat_tpu.utils.offload import WeightOffloader
+
+            self.residents = (
+                WeightOffloader()
+                .register("vit", model, "vit_params")
+                .register("projector", model, "proj_params")
+                .register("tree_embedder", tree_embedder, "params")
+                .register("bank_embedder", bank_embedder, "params")
+            )
         self._key = jax.random.key(cfg.seed)
         # False reproduces the reference's literal dead k-means guard
         # (see pipeline/memory_update.py docstring).
@@ -186,6 +201,7 @@ class StreamChatPipeline:
                         box, tree, timed_caption, self.cfg.memory,
                         self._next_key(),
                         cluster_full_chunks=self.cluster_full_chunks,
+                        residents=self.residents,
                     )
             # An empty segment (e.g. two breakpoints inside the same second)
             # still gets answered from the PREVIOUS short memory + tree,
@@ -505,6 +521,12 @@ def parse_args(argv=None):
                    help="park raw caption chunks in host RAM until each "
                         "caption runs (frees ~1 GB of HBM for the long "
                         "caption prefills at chunk_size=40 / 7B geometry)")
+    p.add_argument("--offload_residents", action="store_true",
+                   help="park the idle ViT/projector/embedder weights in "
+                        "host RAM during each segment's caption loop "
+                        "(utils/offload.py) — buys the HBM margin that "
+                        "--caption_batch 2 at chunk_size=40 needs on one "
+                        "16 GB chip")
     p.add_argument("--literal_kmeans", action="store_true",
                    help="reproduce the reference's dead per-chunk k-means "
                         "guard (raw chunk features in tree nodes)")
@@ -524,6 +546,7 @@ def config_from_args(args) -> PipelineConfig:
             tau=float(args.tau),
             compress_rate=args.compress_rate,
             offload_chunks=args.offload_chunks,
+            offload_residents=args.offload_residents,
         ),
         sampling=SamplingConfig(
             temperature=args.temperature,

@@ -205,7 +205,7 @@ def test_process_video_online(tiny_pipeline, tmp_path):
     assert len(tiny_pipeline.last_tree) >= 1
 
 
-def _fresh_pipeline(cfg_kw=None, sampling_kw=None):
+def _fresh_pipeline(cfg_kw=None, sampling_kw=None, memory_kw=None):
     """Independent pipeline with a fixed seed (fixture shares key state)."""
     from streamchat_tpu.config import PipelineConfig
 
@@ -219,6 +219,7 @@ def _fresh_pipeline(cfg_kw=None, sampling_kw=None):
         memory=MemoryConfig(
             chunk_size=8, num_clusters=2, interval=2,
             short_window=6, remember_window=3, tau=5.0,
+            **(memory_kw or {}),
         ),
         sampling=SamplingConfig(
             temperature=0.0, caption_temperature=0.0,
