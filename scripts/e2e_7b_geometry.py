@@ -554,6 +554,40 @@ def main():
         report["projection"]["v5p8_hours_hostattached"] = round(
             proj_host / nq * 2500 / 3600, 1
         )
+        # dp=4 variant — the deployment a v5p-8 user would actually pick.
+        # Each v5p chip has 95 GB HBM: the ENTIRE resident set (int4/int8
+        # 7B ~4.4 GB + int8 LLaMA-3-8B judge ~8 GB + ViT + embedders +
+        # executable workspaces, ~15 GB total, measured: it fits one 16 GB
+        # v5e) fits per chip with 6x headroom, so the right parallelism is
+        # four independent pipeline replicas sharding ANNOTATIONS — the
+        # runner's built-in --num_chunks/--chunk_idx DP (the reference
+        # itself shards its eval this way). Zero collectives, no tp derate;
+        # host-attached (the relay's 50-90 ms dispatch tax is an artifact
+        # of this tunneled setup). Per-chip ratios vs v5e: MXU 2.33x
+        # (x0.95 derate), HBM BW 3.38x (x0.9). Phase mixes from the
+        # measured caption split (prefill 2.9 s MXU / decode 1.7 s BW /
+        # ~0.4 s host per chunk-40 caption -> per-chip ~2.6x with the host
+        # slice at 10x) give:
+        #   caption/summarize/answer.generate: ~2.6 x 4 ~ 10.4x
+        #   ingest (activation-BW ViT):        3.0 x 4 ~ 12x
+        #   kmeans/tree/dedup:                 2 x 4   ~ 8x
+        #   host-side phases:                  10x (host-attached)
+        factors_dp4 = {
+            "ingest": 12.0, "dedup": 8.0, "caption": 10.4,
+            "summarize": 10.4, "history": 10.0, "store": 10.0,
+            "answer.retrieval": 10.0, "answer.generate": 10.4,
+        }
+        proj_dp4 = sum(warm.get(p, 0.0) / factors_dp4[p] for p in top_level)
+        proj_dp4 += mem_other / 8.0 + ans_other / 10.0
+        proj_dp4 += max(0.0, wall - attributed) / 10.0
+        report["projection"]["v5p8_hours_dp4_hostattached"] = round(
+            proj_dp4 / nq * 2500 / 3600, 2
+        )
+        report["projection"]["dp4_note"] = (
+            "dp=4 pipeline replicas over annotations (runner --num_chunks), "
+            "full resident set per 95 GB chip, host-attached; the "
+            "north-star <4 h configuration (BASELINE.md)"
+        )
     with open(args.out, "w", encoding="utf-8") as f:
         json.dump(report, f, indent=2)
     log(f"wrote {args.out}")
