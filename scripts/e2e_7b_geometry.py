@@ -209,6 +209,11 @@ def stage1_pipeline(report, args):
         kv_int8=args.kv_int8,
         prompt_bucket=12288,
     )
+    # LongVA owns the trees now. These locals live for the whole run: any
+    # stray reference PINS the device buffers, so --offload_residents'
+    # attribute swap would free nothing (bisected: batch-2 chunk-40 still
+    # OOMed with ViT+projector pinned here).
+    del vit_params, proj_params, dec_params
     report["kv_cache"] = (
         ("paged int8 (per-token-head scales)" if args.kv_int8
          else "paged bf16 (sequential-pool kernel)") + ", chunked prefill"
@@ -385,7 +390,7 @@ def stage1_pipeline(report, args):
             "ingest/answer/overhead; warm pass hit the axon allocator"
         )
 
-    del pipe, model, dec_params, vit_params, proj_params, tree_emb, bank_emb
+    del pipe, model, tree_emb, bank_emb   # param locals already dropped
     gc.collect()
     return save_file
 
