@@ -77,6 +77,12 @@ def parse_args(argv=None):
     p.add_argument("--segments", type=int, default=2,
                    help="breakpoints per video (2 = the proven axon "
                         "workspace budget)")
+    p.add_argument("--project_from", default=None, metavar="JSON",
+                   help="skip all stages: recompute the projection block of "
+                        "an existing artifact in place from its recorded "
+                        "warm phase totals (pure arithmetic, no TPU). Used "
+                        "to refresh artifacts written before a projection-"
+                        "model change.")
     return p.parse_args(argv)
 
 
@@ -467,6 +473,14 @@ def stage3_scoring(report):
 
 def main():
     args = parse_args()
+    if args.project_from:
+        with open(args.project_from, encoding="utf-8") as f:
+            report = json.load(f)
+        compute_projections(report)
+        with open(args.project_from, "w", encoding="utf-8") as f:
+            json.dump(report, f, indent=2)
+        print(json.dumps(report["projection"], indent=2))
+        return 0
     if jax.default_backend() != "tpu":
         print("requires the real TPU chip"); return 1
     report = {
@@ -489,6 +503,21 @@ def main():
     stage3_scoring(report)
     report["total_wall_s"] = round(time.time() - t0, 1)
 
+    compute_projections(report)
+    with open(args.out, "w", encoding="utf-8") as f:
+        json.dump(report, f, indent=2)
+    log(f"wrote {args.out}")
+    print(json.dumps(report, indent=2))
+    return 0
+
+
+def compute_projections(report):
+    """Fill report["projection"] from the recorded warm phase totals.
+
+    Pure arithmetic over fields stage-1 already measured; callable
+    standalone (--project_from) to refresh artifacts written before a
+    projection-model change.
+    """
     # Full-eval projection from the measured WARM per-question cost (one-time
     # compiles amortize to nothing over a 2.5k-question run). StreamBench
     # v0.3 is ~2.5k questions (BASELINE.md; paper-scale).
@@ -593,11 +622,6 @@ def main():
             "full resident set per 95 GB chip, host-attached; the "
             "north-star <4 h configuration (BASELINE.md)"
         )
-    with open(args.out, "w", encoding="utf-8") as f:
-        json.dump(report, f, indent=2)
-    log(f"wrote {args.out}")
-    print(json.dumps(report, indent=2))
-    return 0
 
 
 if __name__ == "__main__":
