@@ -87,3 +87,42 @@ def test_longva_shard_generate(key):
         prompt, [feats], max_new_tokens=4, temperature=0.0
     )
     assert out == ref
+
+
+def test_longva_shard_generate_batch(key):
+    """tp-sharded BATCHED captioning matches the unsharded sequential path.
+
+    This is the multi-chip serving knob for the one-chip gap recorded in
+    PARITY.md: caption_batch=2 at chunk_size=40 RESOURCE_EXHAUSTEDs a single
+    16 GB v5e (2-row partitioned KV pool + prefill transients) even with
+    resident offload, so batched captioning at the canonical v0.3 config is
+    served sharded — `LongVA.shard()` over a (data, model) mesh, the TPU
+    answer to the reference's two dedicated 80 GB replicas
+    (inference_streaming_longva_v2.py:697-700). Asserts the batched
+    partitioned-pool paged decode reproduces the unsharded per-row greedy
+    outputs token-for-token under the 8-device CPU mesh.
+    """
+    import jax.numpy as jnp
+
+    from streamchat_tpu.config import ViTConfig
+    from streamchat_tpu.models.longva import LongVA
+
+    dec_cfg = DecoderConfig.tiny()
+    model = LongVA.init_random(
+        key, ViTConfig.tiny(projection_dim=dec_cfg.hidden_size), dec_cfg,
+        dtype=jnp.float32,
+    )
+    prompts = ["caption <image> one.", "caption <image> two, longer prompt."]
+    feats = [
+        [jax.random.normal(jax.random.key(10 + i), (6, dec_cfg.hidden_size)) * 0.2]
+        for i in range(len(prompts))
+    ]
+    want = [
+        model.generate_with_image_embedding(p, f, max_new_tokens=6, temperature=0.0)
+        for p, f in zip(prompts, feats)
+    ]
+    model.shard()
+    got = model.generate_with_image_embedding_batch(
+        prompts, feats, max_new_tokens=6, temperature=0.0
+    )
+    assert got == want
