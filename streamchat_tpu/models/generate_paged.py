@@ -307,12 +307,18 @@ def _generate_paged_split(
         # readback is the only reliable sync on the relay
         # (block_until_ready has returned before execution, CLAUDE.md).
         float(lg[0])
-    return _decode_batched_jit(
+    toks, count, over, pools = _decode_batched_jit(
         params, pools, lengths, jnp.stack(logits), key,
         cfg=cfg, max_new_tokens=max_new_tokens, temperature=temperature,
         top_p=top_p, eos_ids=tuple(eos_ids), page_size=page_size,
         maxp=maxp, kv_int8=kv_int8,
     )
+    # The final pools come back only so the donated inputs have outputs to
+    # alias (an input-only donation is "not usable": XLA would hold BOTH the
+    # input pool and the loop carry alive — ~1.33 GB duplicated at 2x23k int8
+    # caption geometry, VERDICT r3 weak #6). Dropped immediately.
+    del pools
+    return toks, count, over
 
 
 @functools.partial(
@@ -383,14 +389,23 @@ def _decode_batched_jit(
         step_fn = decode_step_paged
     init_over = jnp.any(lengths + max_new_tokens > maxp * page_size)
     hh = jnp.zeros((cfg.num_layers, cfg.num_kv_heads, 1), jnp.float32)
-    return _run_decode_loop(
+    toks, count, over, final_cache = _run_decode_loop(
         params, cfg, cache, hh, first_logits, lengths, key,
         max_new_tokens=max_new_tokens, temperature=temperature, top_p=top_p,
         eos_ids=eos_ids, compress=False, hh_size=0, recent_size=0,
         sink_size=4, merge=None, static_batched=True, step_fn=step_fn,
         alloc_fn=None, b=b, num_pages=pool_pages, max_pages_per_seq=maxp,
-        page_size=page_size, init_over=init_over,
+        page_size=page_size, init_over=init_over, return_cache=True,
     )
+    # Returning the final pool buffers gives the donated `pools` inputs
+    # outputs to alias into — without them the donation is unusable and the
+    # while-loop carry duplicates the pool (VERDICT r3 weak #6).
+    if kv_int8:
+        out_pools = (final_cache.k_pages, final_cache.v_pages,
+                     final_cache.k_scale, final_cache.v_scale)
+    else:
+        out_pools = (final_cache.k_pages, final_cache.v_pages)
+    return toks, count, over, out_pools
 
 
 @functools.partial(
@@ -635,6 +650,7 @@ def _run_decode_loop(
     max_new_tokens, temperature, top_p, eos_ids, compress, hh_size,
     recent_size, sink_size, merge, static_batched, step_fn, alloc_fn,
     b, num_pages, max_pages_per_seq, page_size, init_over,
+    return_cache=False,
 ):
     """The fused sample→(compress)→(alloc)→attend while_loop shared by the
     one-program path (_generate_paged_jit) and the split batched path
@@ -717,4 +733,6 @@ def _run_decode_loop(
     before_eos = jnp.cumsum(eos_mask.astype(jnp.int32), axis=1) == 0
     count = jnp.sum(before_eos.astype(jnp.int32), axis=1)
     count = jnp.minimum(count, final.step)
+    if return_cache:
+        return toks, count, final.over, final.cache
     return toks, count, final.over
