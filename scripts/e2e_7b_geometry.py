@@ -474,11 +474,21 @@ def stage3_scoring(report):
 def main():
     args = parse_args()
     if args.project_from:
-        with open(args.project_from, encoding="utf-8") as f:
-            report = json.load(f)
-        compute_projections(report)
-        with open(args.project_from, "w", encoding="utf-8") as f:
+        try:
+            with open(args.project_from, encoding="utf-8") as f:
+                report = json.load(f)
+            compute_projections(report)
+        except (OSError, json.JSONDecodeError, KeyError) as e:
+            print(f"--project_from {args.project_from}: cannot recompute "
+                  f"projections ({type(e).__name__}: {e}); artifact left "
+                  "untouched", file=sys.stderr)
+            return 1
+        # Write-then-rename so a crash mid-dump can't truncate the artifact.
+        tmp = args.project_from + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
             json.dump(report, f, indent=2)
+            f.write("\n")
+        os.replace(tmp, args.project_from)
         print(json.dumps(report["projection"], indent=2))
         return 0
     if jax.default_backend() != "tpu":
@@ -506,6 +516,7 @@ def main():
     compute_projections(report)
     with open(args.out, "w", encoding="utf-8") as f:
         json.dump(report, f, indent=2)
+        f.write("\n")
     log(f"wrote {args.out}")
     print(json.dumps(report, indent=2))
     return 0
@@ -523,6 +534,9 @@ def compute_projections(report):
     # v0.3 is ~2.5k questions (BASELINE.md; paper-scale).
     per_q = report.get("stage1_warm_per_question_s",
                        report["stage1_per_question_s"])
+    # Preserve keys a newer writer may have added that this recompute does
+    # not produce (ADVICE r3): recomputed keys overwrite, unknown ones stay.
+    prior = report.get("projection") or {}
     report["projection"] = {
         "questions": 2500,
         "one_v5e_hours": round(per_q * 2500 / 3600, 1),
@@ -530,6 +544,7 @@ def compute_projections(report):
         "note": "flat5x: conservative ~5x one-v5e throughput; "
                 "reference: ~28 h on 2xA100 (README.md:71)",
     }
+    report["projection"] = {**prior, **report["projection"]}
     # Per-phase roofline projection for v5p-8 (4 chips, tp=4 over ICI).
     # Chip ratios vs v5e: bf16 FLOPs 459/197 = 2.33x, HBM BW 2765/819 =
     # 3.38x. Phase speedups (derated for collective/launch overhead):

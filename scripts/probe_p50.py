@@ -1,0 +1,92 @@
+"""Bisect probe for the answer-p50 bench path (VERDICT r3 next #3).
+
+Measures the bench's exact answer round (4k-token spliced prefill + 256-token
+paged decode, int8 weights, b=1) and additionally a max_new=1 round so the
+regression can be attributed to prefill vs decode:
+
+    decode ms/tok ~= (t_256 - t_1) / 255
+
+Run on the real chip with an otherwise-idle host (relay dispatch shares the
+single core):  python scripts/probe_p50.py [--layers 28] [--rounds 3]
+Prints one JSON line per config.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--layers", type=int, default=28)
+    p.add_argument("--rounds", type=int, default=3)
+    p.add_argument("--ctx", type=int, default=4096)
+    p.add_argument("--skip_one", action="store_true",
+                   help="skip the max_new=1 attribution round")
+    args = p.parse_args()
+
+    from streamchat_tpu.config import DecoderConfig
+    from streamchat_tpu.models import decoder
+    from streamchat_tpu.models.generate_paged import generate_paged
+    from streamchat_tpu.ops.paged_attention import SEQ_POOL_BLOCK
+    from streamchat_tpu.ops.quant import quantize_decoder_params
+
+    cfg = dataclasses.replace(DecoderConfig.qwen2_7b(), num_layers=args.layers)
+    params = decoder.init(jax.random.key(0), cfg, jnp.bfloat16)
+    params = quantize_decoder_params(params, destructive=True)
+    gc.collect()
+    embeds = (jax.random.normal(jax.random.key(1), (1, args.ctx, cfg.hidden_size))
+              * 0.02).astype(jnp.bfloat16)
+    seq_len = jnp.array([args.ctx - 7], jnp.int32)
+
+    def run(max_new, tag):
+        def one(key):
+            toks, count = generate_paged(
+                params, cfg, embeds, seq_len, key,
+                max_new_tokens=max_new, temperature=0.2, eos_ids=(-1,),
+            )
+            return float(count[0])
+
+        one(jax.random.key(2))
+        times = []
+        for i in range(args.rounds):
+            t0 = time.perf_counter()
+            one(jax.random.key(3 + i))
+            times.append(time.perf_counter() - t0)
+        print(json.dumps({
+            "tag": tag, "ctx": args.ctx, "max_new": max_new,
+            "seq_pool_block": SEQ_POOL_BLOCK,
+            "p50_s": round(median(times), 4),
+            "rounds_s": [round(t, 4) for t in times],
+        }), flush=True)
+        return median(times)
+
+    t256 = run(256, "prefill+decode256")
+    if not args.skip_one:
+        t1 = run(1, "prefill+decode1")
+        print(json.dumps({
+            "tag": "attribution",
+            "decode_ms_per_tok": round((t256 - t1) / 255 * 1000, 3),
+            "prefill_plus_overhead_s": round(t1, 4),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

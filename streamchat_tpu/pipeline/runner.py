@@ -135,7 +135,11 @@ class StreamChatPipeline:
         tree = self.new_tree()
         self._summarize = orig_summarize
         results = []
-        timer = PhaseTimer()
+        # Annotated phases: if a jax.profiler trace is active (e2e --profile),
+        # each phase window lands in the trace for per-phase device-time
+        # attribution (utils.traceparse). Annotations cost ~µs when no trace
+        # is running; jax is always imported by the time a video processes.
+        timer = PhaseTimer(annotate=True)
         # The loop-entry index build embeds any docs already in the bank; on
         # a pre-populated bank this can compile a fresh embedder batch bucket
         # (~30 s through the relay), so attribute it like the in-loop

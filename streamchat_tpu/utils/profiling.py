@@ -23,15 +23,27 @@ from typing import Dict, Iterator
 
 
 class PhaseTimer:
-    def __init__(self) -> None:
+    def __init__(self, annotate: bool = False) -> None:
         self.totals: Dict[str, float] = defaultdict(float)
         self.counts: Dict[str, int] = defaultdict(int)
+        # annotate=True additionally emits a jax.profiler.TraceAnnotation
+        # named "phase=<name>" per window so device traces can be bucketed
+        # per phase (utils.traceparse.device_seconds_by_phase; '=' because
+        # TraceMe strips anything before a ':'). Off by default: importing
+        # jax here would break import hermeticity for non-jax users.
+        self.annotate = annotate
 
     @contextlib.contextmanager
     def phase(self, name: str) -> Iterator[None]:
+        ctx = contextlib.nullcontext()
+        if self.annotate:
+            import jax
+
+            ctx = jax.profiler.TraceAnnotation(f"phase={name}")
         t0 = time.perf_counter()
         try:
-            yield
+            with ctx:
+                yield
         finally:
             self.totals[name] += time.perf_counter() - t0
             self.counts[name] += 1

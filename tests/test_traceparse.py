@@ -1,0 +1,47 @@
+"""Trace-capture + parse roundtrip for per-phase device-time attribution."""
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+from streamchat_tpu.utils.profiling import PhaseTimer
+from streamchat_tpu.utils.traceparse import (
+    device_seconds_by_phase,
+    find_trace_file,
+    load_trace_events,
+)
+
+
+def test_phase_windows_roundtrip(tmp_path):
+    timer = PhaseTimer(annotate=True)
+    x = jnp.ones((256, 256))
+
+    f = jax.jit(lambda a: a @ a)
+    f(x).block_until_ready()          # compile outside the trace
+
+    jax.profiler.start_trace(str(tmp_path))
+    try:
+        with timer.phase("compute"):
+            for _ in range(3):
+                x = f(x)
+            x.block_until_ready()
+        with timer.phase("hostwait"):
+            time.sleep(0.05)
+    finally:
+        jax.profiler.stop_trace()
+
+    path = find_trace_file(str(tmp_path))
+    events = load_trace_events(path)
+    assert events, "empty trace"
+
+    phases = device_seconds_by_phase(str(tmp_path))
+    assert "compute" in phases and "hostwait" in phases, phases
+    # Wall times from the trace must roughly match the host-side timer.
+    assert abs(phases["hostwait"]["wall_s"] - timer.totals["hostwait"]) < 0.05
+    assert phases["compute"]["wall_s"] > 0
+    # Pure host sleep must attribute (almost) no device time.
+    assert phases["hostwait"]["device_s"] <= phases["hostwait"]["wall_s"]
+    for rec in phases.values():
+        assert rec["device_s"] <= rec["wall_s"] + 0.01
+        assert rec["host_gap_s"] >= 0
