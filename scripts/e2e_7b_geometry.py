@@ -77,6 +77,26 @@ def parse_args(argv=None):
     p.add_argument("--segments", type=int, default=2,
                    help="breakpoints per video (2 = the proven axon "
                         "workspace budget)")
+    p.add_argument("--segment_plan", default=None, metavar="PLAN",
+                   help="warm-pass video plan: ';'-separated videos, each a "
+                        "','-separated list of segment lengths in seconds "
+                        "(e.g. '40,40;20,20;80,80'). The cold pass runs the "
+                        "FIRST video; every video then runs warm with "
+                        "compiled programs reused. Lengths should keep "
+                        "6*secs a multiple of chunk_size so caption prompts "
+                        "stay one compiled shape (VERDICT r3 next #1: a "
+                        "representative multi-video sample with materially "
+                        "different captions/question). Default: one video "
+                        "of --segments x 40 s (the round-3 behavior).")
+    p.add_argument("--profile", action="store_true",
+                   help="capture jax.profiler traces of ONE warm caption "
+                        "and ONE warm answer, parse device-lane seconds "
+                        "(utils/traceparse), and persist the measured "
+                        "device/host split into the artifact (VERDICT r3 "
+                        "next #2: replace assumed projection factors)")
+    p.add_argument("--judge_warm_rows", type=int, default=4,
+                   help="timed warm single-row judge calls after the compile "
+                        "row (stage-2 warm s/row for the projection)")
     p.add_argument("--project_from", default=None, metavar="JSON",
                    help="skip all stages: recompute the projection block of "
                         "an existing artifact in place from its recorded "
@@ -291,10 +311,8 @@ def stage1_pipeline(report, args):
     logged_caption.batch_size = orig_caption.batch_size
     pipe._caption = logged_caption
 
-    # 120 s video at 30 fps, 3 breakpoints — 40 s segments -> 240 sampled
-    # frames/segment at rate 0.2 -> 6 full 40-frame chunks per segment.
-    reader = SyntheticVideoReader(total_frames=3600, frame_rate=30.0,
-                                  height=336, width=336)
+    # Video plan: segment lengths in seconds per video. 40 s at 30 fps ->
+    # 240 sampled frames at rate 0.2 -> 6 full 40-frame chunks per segment.
     # TWO breakpoints per video: the axon backend permanently reserves every
     # compiled executable's workspace, and the inter-segment tree MERGE
     # (whose combined-centroid count varies per merge event) plus any other
@@ -302,14 +320,33 @@ def stage1_pipeline(report, args):
     # settings the budget holds two full segments per video (24 captions +
     # 2 answers at full 7B geometry) and reuses everything for subsequent
     # videos. Segment-3 OOMs were bisected across 8 runs (see git log).
-    breakpoints = [
-        {"question": "What is happening in the video?", "answer": "things",
-         "class": "OCP", "time": 40},
-        {"question": "What changed since the beginning?", "answer": "stuff",
-         "class": "CT", "time": 80},
-        {"question": "What happened at the end?", "answer": "more things",
-         "class": "OCP", "time": 120},
-    ][: args.segments]
+    if args.segment_plan:
+        plan = [[int(x) for x in v.split(",") if x]
+                for v in args.segment_plan.split(";") if v]
+    else:
+        plan = [[40] * args.segments]
+    report["segment_plan_s"] = plan
+
+    _QA = [
+        ("What is happening in the video?", "things", "OCP"),
+        ("What changed since the beginning?", "stuff", "CT"),
+        ("What happened at the end?", "more things", "OCP"),
+    ]
+
+    def make_breakpoints(seg_secs):
+        out, t = [], 0
+        for i, secs in enumerate(seg_secs):
+            t += secs
+            q, a, c = _QA[i % len(_QA)]
+            out.append({"question": q, "answer": a, "class": c, "time": t})
+        return out
+
+    def make_reader(seg_secs):
+        return SyntheticVideoReader(total_frames=sum(seg_secs) * 30,
+                                    frame_rate=30.0, height=336, width=336)
+
+    breakpoints = make_breakpoints(plan[0])
+    reader = make_reader(plan[0])
     # Start from EMPTY dialogue banks: the JSONs persist across runs, and a
     # stale bank makes the loop-entry enter_name() embed last run's docs —
     # at a batch-bucket size the cold pass never compiled, which cost a
@@ -349,22 +386,108 @@ def stage1_pipeline(report, args):
     del bank
     gc.collect()
 
-    log("stage 1 (warm): second video, compiled programs reused ...")
-    try:
-        reader2 = SyntheticVideoReader(total_frames=3600, frame_rate=30.0,
-                                       height=336, width=336)
-        bank2 = MemoryBank("/tmp/e2e7b_memory2.json",
-                           lambda t: bank_emb.embed(t))
-        t0 = time.time()
-        results2 = pipe.process_video(reader2, breakpoints, bank2,
-                                      user_name="User")
-        warm_wall = time.time() - t0
-        report["stage1_warm_wall_s"] = round(warm_wall, 1)
+    # --profile: trace ONE warm caption and ONE warm answer (the first of
+    # warm video 0 — fully warm, all programs compiled in the cold pass) and
+    # parse device-lane seconds. Tracing a whole warm video would record
+    # ~10^6 per-op device events; one caption + one answer stay parseable
+    # and cover the two dominant phases (~85% of warm wall).
+    profile_state = {"caption_pending": args.profile,
+                     "answer_pending": args.profile}
+
+    def profiled_caption(chunk):
+        if profile_state["caption_pending"]:
+            profile_state["caption_pending"] = False
+            jax.profiler.start_trace("/tmp/e2e7b_trace_caption")
+            try:
+                with jax.profiler.TraceAnnotation("phase=caption_call"):
+                    return logged_caption(chunk)
+            finally:
+                jax.profiler.stop_trace()
+        return logged_caption(chunk)
+
+    profiled_caption.batch = logged_batch
+    profiled_caption.batch_size = orig_caption.batch_size
+
+    orig_answer = pipe._answer
+
+    def profiled_answer(q, short_memory, tree, history_prompt):
+        if profile_state["answer_pending"]:
+            profile_state["answer_pending"] = False
+            jax.profiler.start_trace("/tmp/e2e7b_trace_answer")
+            try:
+                with jax.profiler.TraceAnnotation("phase=answer_call"):
+                    return orig_answer(q, short_memory, tree, history_prompt)
+            finally:
+                jax.profiler.stop_trace()
+        return orig_answer(q, short_memory, tree, history_prompt)
+
+    if args.profile:
+        pipe._caption = profiled_caption
+        pipe._answer = profiled_answer
+
+    # Warm passes: every plan video through the SAME pipeline object —
+    # compiled programs reused. Per-video records give the per-question
+    # spread across materially different segment lengths (captions/question
+    # varies with chunks/segment) — VERDICT r3 next #1.
+    warm_videos = []
+    warm_wall_total, warm_q_total = 0.0, 0
+    agg_totals, agg_counts = {}, {}
+    for vi, seg_secs in enumerate(plan):
+        log(f"stage 1 (warm {vi}): video with {seg_secs}s segments ...")
+        cap_lo = len(state["durations"])
+        bank_path = f"/tmp/e2e7b_memory_warm{vi}.json"
+        if os.path.exists(bank_path):
+            os.remove(bank_path)
+        try:
+            bank_w = MemoryBank(bank_path, lambda t: bank_emb.embed(t))
+            t0 = time.time()
+            results_w = pipe.process_video(
+                make_reader(seg_secs), make_breakpoints(seg_secs), bank_w,
+                user_name="User",
+            )
+            wall_w = time.time() - t0
+        except Exception as e:  # noqa: BLE001 - one OOM poisons the process
+            log(f"stage 1 warm video {vi} FAILED ({type(e).__name__}); "
+                "keeping earlier warm results")
+            report["stage1_warm_failed"] = (
+                f"video {vi} ({seg_secs}): {type(e).__name__}"
+            )
+            break
+        pipe.last_tree = None
+        del bank_w
+        gc.collect()
+        rec = {
+            "segments_s": seg_secs,
+            "wall_s": round(wall_w, 1),
+            "questions": len(results_w),
+            "per_question_s": round(wall_w / max(1, len(results_w)), 1),
+            "phase_totals_s": pipe.last_phase_totals,
+            "caption_durations_s": [
+                round(d, 2) for d in state["durations"][cap_lo:]
+            ],
+        }
+        warm_videos.append(rec)
+        warm_wall_total += wall_w
+        warm_q_total += len(results_w)
+        for k, v in pipe.last_phase_totals.items():
+            agg_totals[k] = round(agg_totals.get(k, 0.0) + v, 3)
+        for k, v in pipe.last_phase_counts.items():
+            agg_counts[k] = agg_counts.get(k, 0) + v
+        log(f"stage 1 warm {vi} done: {wall_w:.1f}s for "
+            f"{len(results_w)} questions; phases {pipe.last_phase_totals}")
+
+    if warm_videos:
+        report["stage1_warm_wall_s"] = round(warm_wall_total, 1)
+        report["stage1_warm_questions"] = warm_q_total
         report["stage1_warm_per_question_s"] = round(
-            warm_wall / max(1, len(results2)), 1
+            warm_wall_total / max(1, warm_q_total), 1
         )
-        report["stage1_warm_phase_totals_s"] = pipe.last_phase_totals
-        report["stage1_warm_phase_counts"] = pipe.last_phase_counts
+        report["stage1_warm_per_question_spread_s"] = [
+            v["per_question_s"] for v in warm_videos
+        ]
+        report["stage1_warm_videos"] = warm_videos
+        report["stage1_warm_phase_totals_s"] = agg_totals
+        report["stage1_warm_phase_counts"] = agg_counts
         report["caption_durations_s"] = [round(d, 2) for d in state["durations"]]
         report["caption_batch_durations_s"] = [
             (n, round(d, 2)) for n, d in state["batch_durations"]
@@ -379,29 +502,48 @@ def stage1_pipeline(report, args):
                 "h2d_dispatch_total": round(pipe.residents.restore_s, 2),
                 "host_bytes_mb": round(pipe.residents.host_bytes() / 1e6, 1),
             }
-        log(f"stage 1 warm done: {warm_wall:.1f}s for {len(results2)} "
-            f"questions; phases {pipe.last_phase_totals}")
-    except Exception as e:  # noqa: BLE001 - derive steady state from cold
-        log(f"stage 1 warm FAILED ({type(e).__name__}); deriving steady "
-            "state from the cold run's per-call timings")
+    else:
         # Steady state from measured cold per-call costs: captions dominate
         # (logged per call); ingest + answer from the cold phase residue.
         times = state.get("durations", [])
         cap = sum(times[-12:]) / max(1, len(times[-12:])) if times else 8.6
         per_q = cap * 12 + 20.0   # 12 captions + ingest/answer/overheads
-        report["stage1_warm_failed"] = type(e).__name__
         report["stage1_warm_per_question_s"] = round(per_q, 1)
         report["stage1_warm_derivation"] = (
             f"12 captions x {cap:.1f}s (measured steady per-call) + ~20s "
             "ingest/answer/overhead; warm pass hit the axon allocator"
         )
 
+    if args.profile and not profile_state["caption_pending"]:
+        from streamchat_tpu.utils.traceparse import (
+            device_seconds_by_phase,
+            host_events_in_phase,
+        )
+
+        dev = {}
+        for tag, tdir in (("caption", "/tmp/e2e7b_trace_caption"),
+                          ("answer", "/tmp/e2e7b_trace_answer")):
+            try:
+                phases = device_seconds_by_phase(tdir)
+                rec = phases.get(f"{tag}_call")
+                if rec:
+                    rec["top_host_events"] = host_events_in_phase(
+                        tdir, f"{tag}_call", top=12
+                    )
+                    dev[tag] = rec
+            except Exception as e:  # noqa: BLE001
+                dev[tag] = {"error": f"{type(e).__name__}: {e}"}
+        report["device_seconds"] = dev
+        brief = {k: {x: v.get(x) for x in ("wall_s", "device_s", "host_gap_s")}
+                 for k, v in dev.items()}
+        log(f"device-time attribution: {brief}")
+
     del pipe, model, tree_emb, bank_emb   # param locals already dropped
     gc.collect()
     return save_file
 
 
-def stage2_judge(save_file, report):
+def stage2_judge(save_file, report, args=None):
     from streamchat_tpu.config import DecoderConfig
     from streamchat_tpu.eval import judge as judge_mod
     from streamchat_tpu.models.textlm import TextLM
@@ -451,6 +593,40 @@ def stage2_judge(save_file, report):
         for rec in judged_forced:
             f.write(json.dumps(rec) + "\n")
     report["stage2_forced_rows"] = len(judged_forced)
+
+    # Warm judge s/row (VERDICT r3 next #1): the batched stage-2 wall above
+    # is compile-dominated; projections need the steady per-row cost of the
+    # second-largest model in the system. One batch-1 compile row, then
+    # >= N timed batch-1 rows of the SAME prediction (same prompt shape ->
+    # same compiled program; generation cost is shape-bound, not
+    # content-bound). Batch-1 is the reference's own judging granularity
+    # (eval_video_qa_with_llama3_ours.py:111-154) and is CONSERVATIVE for
+    # the projection — the batched path only amortizes further.
+    n_rows = getattr(args, "judge_warm_rows", 4) if args else 4
+    row = [dict(predictions[0], forced_parse=True)]
+
+    def one_row():
+        judge_mod.judge_predictions(
+            row, forced_generate,
+            output_path="/tmp/e2e7b_judge_warm.jsonl", batch_size=1,
+        )
+
+    t0 = time.time()
+    one_row()
+    report["stage2_row_compile_s"] = round(time.time() - t0, 2)
+    times = []
+    for _ in range(n_rows):
+        t0 = time.time()
+        one_row()
+        times.append(time.time() - t0)
+    times_sorted = sorted(times)
+    mid = len(times_sorted) // 2
+    warm_row = (times_sorted[mid] if len(times_sorted) % 2
+                else 0.5 * (times_sorted[mid - 1] + times_sorted[mid]))
+    report["stage2_warm_rows_s"] = [round(t, 3) for t in times]
+    report["stage2_warm_row_s"] = round(warm_row, 3)
+    log(f"stage 2 warm row: {warm_row:.2f}s/row "
+        f"(compile row {report['stage2_row_compile_s']}s)")
     del lm, params
     gc.collect()
 
@@ -509,7 +685,7 @@ def main():
     }
     t0 = time.time()
     save_file = stage1_pipeline(report, args)
-    stage2_judge(save_file, report)
+    stage2_judge(save_file, report, args)
     stage3_scoring(report)
     report["total_wall_s"] = round(time.time() - t0, 1)
 
@@ -534,13 +710,30 @@ def compute_projections(report):
     # v0.3 is ~2.5k questions (BASELINE.md; paper-scale).
     per_q = report.get("stage1_warm_per_question_s",
                        report["stage1_per_question_s"])
+    # Stage 2+3 per-question cost (VERDICT r3 next #1): the reference's
+    # ~28 h covers pipeline + LLaMA-3 judge + scoring
+    # (inference_streamchat_v0.3.sh:29-62), so every projection variant now
+    # folds them in — one judge row per question (the reference's own
+    # granularity) at the measured warm batch-1 s/row, plus stage-3 scoring
+    # (pure host arithmetic) at its measured per-row cost.
+    judge_row = report.get("stage2_warm_row_s")
+    s3_rows = max(1, report.get("stage2_rows", 0)
+                  + report.get("stage2_forced_rows", 0))
+    stage3_row = report.get("stage3_wall_s", 0.0) / s3_rows
+    stages = [1, 2, 3] if judge_row is not None else [1]
+    if judge_row is None:
+        judge_row = 0.0     # pre-round-4 artifact: stage-1-only, marked below
     # Preserve keys a newer writer may have added that this recompute does
     # not produce (ADVICE r3): recomputed keys overwrite, unknown ones stay.
     prior = report.get("projection") or {}
+    full_q = per_q + judge_row + stage3_row
     report["projection"] = {
         "questions": 2500,
-        "one_v5e_hours": round(per_q * 2500 / 3600, 1),
-        "v5p8_hours_flat5x": round(per_q * 2500 / 3600 / 5, 1),
+        "stages_included": stages,
+        "stage2_s_per_question": round(judge_row, 3),
+        "stage3_s_per_question": round(stage3_row, 4),
+        "one_v5e_hours": round(full_q * 2500 / 3600, 1),
+        "v5p8_hours_flat5x": round(full_q * 2500 / 3600 / 5, 1),
         "note": "flat5x: conservative ~5x one-v5e throughput; "
                 "reference: ~28 h on 2xA100 (README.md:71)",
     }
@@ -559,7 +752,9 @@ def compute_projections(report):
     #   on a host-attached deployment — NOT credited below).
     warm = report.get("stage1_warm_phase_totals_s")
     if warm:
-        nq = max(1, report.get("stage1_questions", 1))
+        # Warm totals span ALL warm videos when a --segment_plan sample ran.
+        nq = max(1, report.get("stage1_warm_questions",
+                               report.get("stage1_questions", 1)))
         factors = {
             "ingest": 10.0, "dedup": 4.0, "caption": 7.0, "summarize": 7.0,
             "history": 1.0, "store": 1.0,
@@ -582,6 +777,9 @@ def compute_projections(report):
             sum(warm.get(p, 0.0) for p in top_level) + mem_other + ans_other
         )
         proj += max(0.0, wall - attributed)          # unattributed: 1x
+        # Stage 2: the judge is a decode-bound 8B generate — same phase
+        # class as answer.generate (factor 7 on tp=4). Stage 3: host, 1x.
+        proj += nq * (judge_row / 7.0 + stage3_row)
         report["projection"]["v5p8_hours_roofline"] = round(
             proj / nq * 2500 / 3600, 1
         )
@@ -600,6 +798,7 @@ def compute_projections(report):
         )
         proj_host += mem_other / 4.0 + ans_other / 10.0
         proj_host += max(0.0, wall - attributed) / 10.0
+        proj_host += nq * (judge_row / 7.0 + stage3_row / 10.0)
         report["projection"]["v5p8_hours_hostattached"] = round(
             proj_host / nq * 2500 / 3600, 1
         )
@@ -629,6 +828,8 @@ def compute_projections(report):
         proj_dp4 = sum(warm.get(p, 0.0) / factors_dp4[p] for p in top_level)
         proj_dp4 += mem_other / 8.0 + ans_other / 10.0
         proj_dp4 += max(0.0, wall - attributed) / 10.0
+        # Judge rows shard over the dp=4 replicas like everything else.
+        proj_dp4 += nq * (judge_row / 10.4 + stage3_row / 10.0)
         report["projection"]["v5p8_hours_dp4_hostattached"] = round(
             proj_dp4 / nq * 2500 / 3600, 2
         )
@@ -636,7 +837,63 @@ def compute_projections(report):
             "dp=4 pipeline replicas over annotations (runner --num_chunks), "
             "full resident set per 95 GB chip, host-attached; the "
             "north-star <4 h configuration (BASELINE.md)"
+            + ("; includes one judge row + scoring per question"
+               if stages == [1, 2, 3] else
+               "; STAGE-1 ONLY (pre-round-4 artifact without a measured "
+               "judge s/row)")
         )
+        # Per-question spread across the segment-length sample: scale the
+        # stage-1 part of the dp4 number by each video's per_q vs the mean
+        # (the phase mix is observed stable across videos; labeled an
+        # approximation in the artifact).
+        spread = report.get("stage1_warm_per_question_spread_s")
+        if spread and per_q:
+            s1_dp4_per_q = (proj_dp4 / nq) - (judge_row / 10.4
+                                              + stage3_row / 10.0)
+            report["projection"]["v5p8_hours_dp4_spread"] = [
+                round((s1_dp4_per_q * s / per_q + judge_row / 10.4
+                       + stage3_row / 10.0) * 2500 / 3600, 2)
+                for s in spread
+            ]
+
+        # Measured-device variant (VERDICT r3 next #2): when --profile ran,
+        # replace the blended per-phase factors with the TRACED device/host
+        # split. Device time scales by the v5p-8 dp4 device ratio
+        # (caption-mix blended per-chip 2.46x [prefill 2.21x MXU, decode
+        # 3.04x BW at the measured 2.76:1.65 mix] x 4 replicas = 9.85x);
+        # the measured HOST slice — which through this relay is ~50-90 ms
+        # per dispatch vs ~1-5 ms host-attached — shrinks 10x, now applied
+        # only to the traced host gap instead of an assumed whole-phase
+        # blend.
+        dev = report.get("device_seconds") or {}
+        cap_rec, ans_rec = dev.get("caption"), dev.get("answer")
+        if (cap_rec and ans_rec and cap_rec.get("wall_s")
+                and ans_rec.get("wall_s")):
+            frac_cap = cap_rec["device_s"] / cap_rec["wall_s"]
+            frac_ans = ans_rec["device_s"] / ans_rec["wall_s"]
+            DEV, HOST = 2.46 * 4, 10.0
+
+            def split(total, frac):
+                return total * (frac / DEV + (1.0 - frac) / HOST)
+
+            answer_tot = (warm.get("answer.retrieval", 0.0)
+                          + warm.get("answer.generate", 0.0) + ans_other)
+            pm = split(warm.get("caption", 0.0), frac_cap)
+            pm += split(warm.get("summarize", 0.0), frac_cap)
+            pm += split(answer_tot, frac_ans)
+            pm += warm.get("ingest", 0.0) / 12.0
+            pm += warm.get("dedup", 0.0) / 8.0 + mem_other / 8.0
+            pm += (warm.get("history", 0.0) + warm.get("store", 0.0)) / HOST
+            pm += max(0.0, wall - attributed) / HOST
+            pm += nq * (split(judge_row, frac_ans) + stage3_row / HOST)
+            report["projection"]["v5p8_hours_dp4_measured"] = round(
+                pm / nq * 2500 / 3600, 2
+            )
+            report["projection"]["measured_split"] = {
+                "caption_device_frac": round(frac_cap, 3),
+                "answer_device_frac": round(frac_ans, 3),
+                "device_ratio": DEV, "host_ratio": HOST,
+            }
 
 
 if __name__ == "__main__":

@@ -119,3 +119,38 @@ def device_seconds_by_phase(
             "device_events": ndev,
         }
     return out
+
+
+def host_events_in_phase(
+    trace_dir: str, phase: str, top: int = 20, prefix: str = "phase="
+) -> List[dict]:
+    """Top host-lane events (by summed duration) inside a phase's windows.
+
+    The per-dispatch accounting for the relay tax: host events are complete
+    ('X') events on NON-device pids whose midpoints fall inside the phase
+    window, excluding the window event itself. Returns
+    [{"name", "total_s", "count"}] sorted by total_s desc.
+    """
+    path = find_trace_file(trace_dir)
+    events = load_trace_events(path)
+    dev_pids = _device_pids(events)
+    wins = _phase_windows(events, prefix).get(phase, [])
+    agg: Dict[str, List[float]] = {}
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") in dev_pids:
+            continue
+        name = str(e.get("name", ""))
+        if name.startswith(prefix):
+            continue
+        ts, dur = float(e.get("ts", 0.0)), float(e.get("dur", 0.0))
+        mid = ts + 0.5 * dur
+        if any(s <= mid < end for s, end in wins):
+            rec = agg.setdefault(name, [0.0, 0])
+            rec[0] += dur
+            rec[1] += 1
+    rows = [
+        {"name": n, "total_s": round(t / 1e6, 4), "count": c}
+        for n, (t, c) in agg.items()
+    ]
+    rows.sort(key=lambda r: -r["total_s"])
+    return rows[:top]

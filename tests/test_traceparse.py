@@ -9,8 +9,9 @@ from streamchat_tpu.utils.profiling import PhaseTimer
 from streamchat_tpu.utils.traceparse import (
     device_seconds_by_phase,
     find_trace_file,
-    load_trace_events,
+    host_events_in_phase,
 )
+from streamchat_tpu.utils.traceparse import load_trace_events
 
 
 def test_phase_windows_roundtrip(tmp_path):
@@ -45,3 +46,14 @@ def test_phase_windows_roundtrip(tmp_path):
     for rec in phases.values():
         assert rec["device_s"] <= rec["wall_s"] + 0.01
         assert rec["host_gap_s"] >= 0
+
+    # Per-dispatch host accounting: events land inside the compute phase,
+    # are sorted by total duration, and never include the window itself.
+    rows = host_events_in_phase(str(tmp_path), "compute", top=5)
+    assert isinstance(rows, list)
+    for r in rows:
+        assert set(r) == {"name", "total_s", "count"}
+        assert not r["name"].startswith("phase=")
+        assert r["count"] >= 1 and r["total_s"] >= 0
+    totals = [r["total_s"] for r in rows]
+    assert totals == sorted(totals, reverse=True)
