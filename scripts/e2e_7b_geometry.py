@@ -362,7 +362,8 @@ def stage1_pipeline(report, args):
         os.remove(save_file)
 
     log_hbm("all models loaded")
-    log("stage 1 (cold): streaming pipeline over 3 breakpoints ...")
+    log(f"stage 1 (cold): streaming pipeline over {len(breakpoints)} "
+        "breakpoints ...")
     t0 = time.time()
     results = pipe.process_video(reader, breakpoints, bank,
                                  user_name="User", save_file=save_file)

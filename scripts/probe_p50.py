@@ -40,12 +40,20 @@ def main():
     p.add_argument("--ctx", type=int, default=4096)
     p.add_argument("--skip_one", action="store_true",
                    help="skip the max_new=1 attribution round")
+    p.add_argument("--pool_block", type=int, default=None,
+                   help="force pages per sequential-pool grid step (A/B the "
+                        "8/16/32 DMA-tail vs grid-overhead trade at this ctx)")
     args = p.parse_args()
+
+    if args.pool_block is not None:
+        from streamchat_tpu.ops import paged_attention as pa
+
+        pa.SEQ_POOL_BLOCK_OVERRIDE = args.pool_block
 
     from streamchat_tpu.config import DecoderConfig
     from streamchat_tpu.models import decoder
     from streamchat_tpu.models.generate_paged import generate_paged
-    from streamchat_tpu.ops.paged_attention import SEQ_POOL_BLOCK
+    from streamchat_tpu.ops.paged_attention import seq_pool_block
     from streamchat_tpu.ops.quant import quantize_decoder_params
 
     cfg = dataclasses.replace(DecoderConfig.qwen2_7b(), num_layers=args.layers)
@@ -72,7 +80,8 @@ def main():
             times.append(time.perf_counter() - t0)
         print(json.dumps({
             "tag": tag, "ctx": args.ctx, "max_new": max_new,
-            "seq_pool_block": SEQ_POOL_BLOCK,
+            # effective pages/grid-step at this probe's pool size (page 64)
+            "seq_pool_block": seq_pool_block(-(-(args.ctx + max_new) // 64)),
             "p50_s": round(median(times), 4),
             "rounds_s": [round(t, 4) for t in times],
         }), flush=True)

@@ -260,9 +260,10 @@ def _generate_paged_split(
     )
     s_pad = -(-s // align) * align
     maxp = -(-(s_pad + max_new_tokens) // page_size)
-    from streamchat_tpu.ops.paged_attention import SEQ_POOL_BLOCK
+    from streamchat_tpu.ops.paged_attention import seq_pool_block
 
-    maxp = -(-maxp // SEQ_POOL_BLOCK) * SEQ_POOL_BLOCK   # whole kernel blocks per row
+    blk = seq_pool_block(maxp)
+    maxp = -(-maxp // blk) * blk        # whole kernel blocks per row
     pool_pages = b * maxp
     L, hkv, ps, dh = cfg.num_layers, cfg.num_kv_heads, page_size, cfg.head_dim
     if kv_int8:
@@ -464,12 +465,11 @@ def _generate_paged_jit(
         max_pages_per_seq = -(-(s_pad + max_new_tokens) // page_size)
         if b > 1 and not compress:
             # Partitioned batched pools: each row's slice must hold whole
-            # whole kernel blocks (paged_decode_attention_pallas_seq).
-            from streamchat_tpu.ops.paged_attention import SEQ_POOL_BLOCK
+            # kernel blocks (paged_decode_attention_pallas_seq).
+            from streamchat_tpu.ops.paged_attention import seq_pool_block
 
-            max_pages_per_seq = (
-                -(-max_pages_per_seq // SEQ_POOL_BLOCK) * SEQ_POOL_BLOCK
-            )
+            blk = seq_pool_block(max_pages_per_seq)
+            max_pages_per_seq = -(-max_pages_per_seq // blk) * blk
     if num_pages is None:
         num_pages = b * max_pages_per_seq
     # Statically partitioned pool: row r owns [r*maxp, (r+1)*maxp), table

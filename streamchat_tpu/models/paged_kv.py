@@ -297,15 +297,17 @@ def decode_step_paged(
             # construction (from_contiguous / sequential allocs /
             # compress_paged); batched rows must be statically partitioned
             # (from_contiguous(partitioned=True) — the caller asserts this).
-            # The table is dropped and pages stream in 8-page all-head
-            # blocks. The per-(page, head) grid cost ~2/3 of decode-
-            # attention time at 11.6k ctx (probe_kvint8.py).
+            # The table is dropped and pages stream in seq_pool_block-page
+            # all-head blocks. The per-(page, head) grid cost ~2/3 of
+            # decode-attention time at 11.6k ctx (probe_kvint8.py).
             from streamchat_tpu.ops.paged_attention import (
                 paged_decode_attention_pallas_seq,
+                seq_pool_block,
             )
 
             o = paged_decode_attention_pallas_seq(
                 q, cache.k_pages[i], cache.v_pages[i], cache.length + 1,
+                pages_per_block=seq_pool_block(cache.k_pages.shape[1] // b),
             )
         else:
             # TPU: page-table-indexed Pallas kernel — no gather copy, cache
@@ -686,16 +688,18 @@ def decode_step_paged_int8(
         k = decoder.rope(k, positions, cfg.rope_theta)
         cache = append_token_kv_int8(cache, i, k[:, :, 0], v[:, :, 0])
         if jax.default_backend() == "tpu" and sequential_pages:
-            # Identity/partitioned row-order pool: 8-page all-head blocks,
-            # static per-head scale slices (no one-hot) — see
-            # decode_step_paged.
+            # Identity/partitioned row-order pool: seq_pool_block-page
+            # all-head blocks, static per-head scale slices (no one-hot) —
+            # see decode_step_paged.
             from streamchat_tpu.ops.paged_attention import (
                 paged_decode_attention_pallas_seq_int8,
+                seq_pool_block,
             )
 
             o = paged_decode_attention_pallas_seq_int8(
                 q, cache.k_pages[i], cache.v_pages[i],
                 cache.k_scale[i], cache.v_scale[i], cache.length + 1,
+                pages_per_block=seq_pool_block(cache.k_pages.shape[1] // b),
             )
         elif jax.default_backend() == "tpu":
             from streamchat_tpu.ops.paged_attention import (

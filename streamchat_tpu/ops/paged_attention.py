@@ -35,6 +35,25 @@ from streamchat_tpu.ops.attention import DEFAULT_MASK_VALUE
 # to this (generate_paged does).
 SEQ_POOL_BLOCK = 32
 
+# Probe hook (scripts/probe_p50.py --pool_block): forces every sequential-
+# pool decode call to one block size so the 8/16/32 trade (DMA of the
+# masked ceil-grid tail vs per-step grid overhead) can be A/B-measured
+# on-chip at a given context. None = use the seq_pool_block policy.
+SEQ_POOL_BLOCK_OVERRIDE: int | None = None
+
+
+def seq_pool_block(row_pages: int) -> int:
+    """Pages per sequential-pool grid step for a row of `row_pages` pages.
+
+    Single policy point consumed by BOTH the pool-size rounding in
+    generate_paged and the decode-attention call sites in paged_kv — the
+    batched partitioned layout requires row_pages to be a multiple of the
+    kernel's block, so the two must never disagree.
+    """
+    if SEQ_POOL_BLOCK_OVERRIDE is not None:
+        return SEQ_POOL_BLOCK_OVERRIDE
+    return SEQ_POOL_BLOCK
+
 
 def _paged_decode_kernel(
     table_ref,            # [B, maxp] int32 scalar prefetch
