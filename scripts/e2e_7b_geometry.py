@@ -103,6 +103,11 @@ def parse_args(argv=None):
                         "warm phase totals (pure arithmetic, no TPU). Used "
                         "to refresh artifacts written before a projection-"
                         "model change.")
+    p.add_argument("--stage23_from", default=None, metavar="JSON",
+                   help="run ONLY stages 2+3 against an existing stage-1 "
+                        "checkpoint artifact and rewrite it in place. main() "
+                        "invokes this in a fresh process automatically — an "
+                        "axon OOM in stage 1 poisons its process for good.")
     return p.parse_args(argv)
 
 
@@ -387,11 +392,14 @@ def stage1_pipeline(report, args):
     del bank
     gc.collect()
 
-    # --profile: trace ONE warm caption and ONE warm answer (the first of
-    # warm video 0 — fully warm, all programs compiled in the cold pass) and
-    # parse device-lane seconds. Tracing a whole warm video would record
-    # ~10^6 per-op device events; one caption + one answer stay parseable
-    # and cover the two dominant phases (~85% of warm wall).
+    # --profile: trace ONE warm caption and ONE warm answer and parse
+    # device-lane seconds. The traced pass runs AFTER the timed warm loop
+    # on an extra untimed video: start/stop_trace plus writing the dump
+    # measurably contaminated the in-loop timings (run r4-A: +30 s on the
+    # caption phase, +35 s on answer — the trace dump lands inside the
+    # phase windows). Tracing a whole warm video would record ~10^6
+    # per-op device events; one caption + one answer stay parseable and
+    # cover the two dominant phases (~85% of warm wall).
     profile_state = {"caption_pending": args.profile,
                      "answer_pending": args.profile}
 
@@ -422,14 +430,13 @@ def stage1_pipeline(report, args):
                 jax.profiler.stop_trace()
         return orig_answer(q, short_memory, tree, history_prompt)
 
-    if args.profile:
-        pipe._caption = profiled_caption
-        pipe._answer = profiled_answer
-
     # Warm passes: every plan video through the SAME pipeline object —
     # compiled programs reused. Per-video records give the per-question
     # spread across materially different segment lengths (captions/question
-    # varies with chunks/segment) — VERDICT r3 next #1.
+    # varies with chunks/segment) — VERDICT r3 next #1. A geometry's FIRST
+    # encounter still compiles a few new tree-merge shapes (run r4-A: ~28 s
+    # inside warm video 1), so plans should list each geometry twice and the
+    # summary below keeps the LAST occurrence of each.
     warm_videos = []
     warm_wall_total, warm_q_total = 0.0, 0
     agg_totals, agg_counts = {}, {}
@@ -463,6 +470,7 @@ def stage1_pipeline(report, args):
             "questions": len(results_w),
             "per_question_s": round(wall_w / max(1, len(results_w)), 1),
             "phase_totals_s": pipe.last_phase_totals,
+            "phase_counts": pipe.last_phase_counts,
             "caption_durations_s": [
                 round(d, 2) for d in state["durations"][cap_lo:]
             ],
@@ -470,22 +478,31 @@ def stage1_pipeline(report, args):
         warm_videos.append(rec)
         warm_wall_total += wall_w
         warm_q_total += len(results_w)
-        for k, v in pipe.last_phase_totals.items():
-            agg_totals[k] = round(agg_totals.get(k, 0.0) + v, 3)
-        for k, v in pipe.last_phase_counts.items():
-            agg_counts[k] = agg_counts.get(k, 0) + v
         log(f"stage 1 warm {vi} done: {wall_w:.1f}s for "
             f"{len(results_w)} questions; phases {pipe.last_phase_totals}")
 
     if warm_videos:
-        report["stage1_warm_wall_s"] = round(warm_wall_total, 1)
-        report["stage1_warm_questions"] = warm_q_total
+        # Steady state = the LAST occurrence of each distinct geometry
+        # (the first occurrence pays its tree-merge-shape compiles).
+        last_by_geom = {tuple(v["segments_s"]): v for v in warm_videos}
+        steady = list(last_by_geom.values())
+        steady_wall = sum(v["wall_s"] for v in steady)
+        steady_q = sum(v["questions"] for v in steady)
+        for v in steady:
+            for k, x in v["phase_totals_s"].items():
+                agg_totals[k] = round(agg_totals.get(k, 0.0) + x, 3)
+            for k, x in v["phase_counts"].items():
+                agg_counts[k] = agg_counts.get(k, 0) + x
+        report["stage1_warm_wall_s"] = round(steady_wall, 1)
+        report["stage1_warm_questions"] = steady_q
         report["stage1_warm_per_question_s"] = round(
-            warm_wall_total / max(1, warm_q_total), 1
+            steady_wall / max(1, steady_q), 1
         )
         report["stage1_warm_per_question_spread_s"] = [
-            v["per_question_s"] for v in warm_videos
+            v["per_question_s"] for v in steady
         ]
+        report["stage1_warm_all_wall_s"] = round(warm_wall_total, 1)
+        report["stage1_warm_all_questions"] = warm_q_total
         report["stage1_warm_videos"] = warm_videos
         report["stage1_warm_phase_totals_s"] = agg_totals
         report["stage1_warm_phase_counts"] = agg_counts
@@ -515,15 +532,57 @@ def stage1_pipeline(report, args):
             "ingest/answer/overhead; warm pass hit the axon allocator"
         )
 
+    if args.profile and warm_videos:
+        # Untimed profile pass: ONE single-segment video; the wrappers trace
+        # its first (fully warm) caption and its answer. Kept outside every
+        # timed record — trace start/stop + dump writing cost tens of
+        # seconds through this host.
+        log("profile pass (untimed): tracing one warm caption + answer ...")
+        seg_p = plan[0][:1]
+        prof_bank = "/tmp/e2e7b_memory_prof.json"
+        if os.path.exists(prof_bank):
+            os.remove(prof_bank)
+        pipe._caption = profiled_caption
+        pipe._answer = profiled_answer
+        try:
+            bank_p = MemoryBank(prof_bank, lambda t: bank_emb.embed(t))
+            pipe.process_video(make_reader(seg_p), make_breakpoints(seg_p),
+                               bank_p, user_name="User")
+            del bank_p
+        except Exception as e:  # noqa: BLE001 - attribution is optional
+            log(f"profile pass FAILED ({type(e).__name__}); continuing")
+            report["profile_pass_failed"] = type(e).__name__
+        pipe._caption = logged_caption
+        pipe._answer = orig_answer
+        pipe.last_tree = None
+        gc.collect()
+
     if args.profile and not profile_state["caption_pending"]:
         from streamchat_tpu.utils.traceparse import (
             device_seconds_by_phase,
             host_events_in_phase,
         )
 
+        # Steady-state walls for the device-fraction denominators: the
+        # traced call's own wall carries trace overhead, which would
+        # understate the device fraction and flatter the host-shrink term
+        # in the measured projection. Both come from the last-occurrence
+        # (compile-free) warm records aggregated above.
+        warm_caps = sorted(
+            d for v in last_by_geom.values() for d in v["caption_durations_s"]
+        )
+        steady_cap = (warm_caps[len(warm_caps) // 2] if warm_caps else None)
+        nq_steady = max(1, report.get("stage1_warm_questions", 0))
+        steady_ans = (
+            report["stage1_warm_phase_totals_s"].get("answer", 0.0) / nq_steady
+            if report.get("stage1_warm_phase_totals_s") else None
+        )
+
         dev = {}
-        for tag, tdir in (("caption", "/tmp/e2e7b_trace_caption"),
-                          ("answer", "/tmp/e2e7b_trace_answer")):
+        for tag, tdir, steady_w in (
+            ("caption", "/tmp/e2e7b_trace_caption", steady_cap),
+            ("answer", "/tmp/e2e7b_trace_answer", steady_ans),
+        ):
             try:
                 phases = device_seconds_by_phase(tdir)
                 rec = phases.get(f"{tag}_call")
@@ -531,11 +590,15 @@ def stage1_pipeline(report, args):
                     rec["top_host_events"] = host_events_in_phase(
                         tdir, f"{tag}_call", top=12
                     )
+                    if steady_w:
+                        rec["steady_wall_s"] = round(steady_w, 3)
                     dev[tag] = rec
             except Exception as e:  # noqa: BLE001
                 dev[tag] = {"error": f"{type(e).__name__}: {e}"}
         report["device_seconds"] = dev
-        brief = {k: {x: v.get(x) for x in ("wall_s", "device_s", "host_gap_s")}
+        brief = {k: {x: v.get(x)
+                     for x in ("wall_s", "device_s", "host_gap_s",
+                               "steady_wall_s")}
                  for k, v in dev.items()}
         log(f"device-time attribution: {brief}")
 
@@ -648,6 +711,15 @@ def stage3_scoring(report):
     )
 
 
+def _write_artifact(path, report):
+    # Write-then-rename so a crash mid-dump can't truncate the artifact.
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(report, f, indent=2)
+        f.write("\n")
+    os.replace(tmp, path)
+
+
 def main():
     args = parse_args()
     if args.project_from:
@@ -660,16 +732,26 @@ def main():
                   f"projections ({type(e).__name__}: {e}); artifact left "
                   "untouched", file=sys.stderr)
             return 1
-        # Write-then-rename so a crash mid-dump can't truncate the artifact.
-        tmp = args.project_from + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(report, f, indent=2)
-            f.write("\n")
-        os.replace(tmp, args.project_from)
+        _write_artifact(args.project_from, report)
         print(json.dumps(report["projection"], indent=2))
         return 0
     if jax.default_backend() != "tpu":
         print("requires the real TPU chip"); return 1
+
+    if args.stage23_from:
+        # Fresh-process stages 2+3 (see below): read the stage-1 checkpoint
+        # artifact, judge + score, refresh projections, rewrite in place.
+        with open(args.stage23_from, encoding="utf-8") as f:
+            report = json.load(f)
+        try:
+            stage2_judge(report["stage1_save_file"], report, args)
+            stage3_scoring(report)
+        finally:
+            compute_projections(report)
+            _write_artifact(args.stage23_from, report)
+            log(f"rewrote {args.stage23_from}")
+        return 0
+
     report = {
         "description": "full 3-stage driver at real model geometry "
                        "(random weights), one v5e chip",
@@ -686,17 +768,32 @@ def main():
     }
     t0 = time.time()
     save_file = stage1_pipeline(report, args)
-    stage2_judge(save_file, report, args)
-    stage3_scoring(report)
-    report["total_wall_s"] = round(time.time() - t0, 1)
-
+    report["stage1_save_file"] = save_file
+    report["stage1_total_wall_s"] = round(time.time() - t0, 1)
+    # Checkpoint the artifact NOW, then run stages 2+3 in a FRESH process:
+    # one axon OOM anywhere in stage 1 (e.g. an over-budget warm video)
+    # poisons every later allocation in this process — run r4-A lost its
+    # whole artifact when the judge init hit the poisoned allocator.
     compute_projections(report)
-    with open(args.out, "w", encoding="utf-8") as f:
-        json.dump(report, f, indent=2)
-        f.write("\n")
+    _write_artifact(args.out, report)
+    log(f"checkpointed stage-1 artifact to {args.out}")
+
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__),
+           "--stage23_from", args.out,
+           "--judge_warm_rows", str(args.judge_warm_rows)]
+    log(f"stages 2+3 in a fresh process: {' '.join(cmd)}")
+    rc = subprocess.run(cmd).returncode
+    with open(args.out, encoding="utf-8") as f:
+        report = json.load(f)
+    report["total_wall_s"] = round(time.time() - t0, 1)
+    if rc != 0:
+        report["stage23_failed_rc"] = rc
+    _write_artifact(args.out, report)
     log(f"wrote {args.out}")
-    print(json.dumps(report, indent=2))
-    return 0
+    print(json.dumps(report.get("projection", {}), indent=2))
+    return 0 if rc == 0 else 1
 
 
 def compute_projections(report):
@@ -870,8 +967,14 @@ def compute_projections(report):
         cap_rec, ans_rec = dev.get("caption"), dev.get("answer")
         if (cap_rec and ans_rec and cap_rec.get("wall_s")
                 and ans_rec.get("wall_s")):
-            frac_cap = cap_rec["device_s"] / cap_rec["wall_s"]
-            frac_ans = ans_rec["device_s"] / ans_rec["wall_s"]
+            # Denominator: the steady (untraced) wall when stage 1 recorded
+            # one — the traced call's own wall includes trace overhead,
+            # which would understate the device fraction and flatter the
+            # 10x host-shrink term below.
+            cap_wall = cap_rec.get("steady_wall_s") or cap_rec["wall_s"]
+            ans_wall = ans_rec.get("steady_wall_s") or ans_rec["wall_s"]
+            frac_cap = min(1.0, cap_rec["device_s"] / cap_wall)
+            frac_ans = min(1.0, ans_rec["device_s"] / ans_wall)
             DEV, HOST = 2.46 * 4, 10.0
 
             def split(total, frac):

@@ -25,11 +25,14 @@ def annotation_stats(annotations: List[dict], video_dir: Optional[str] = None) -
     total_questions = 0
     class_counts: Dict[str, int] = defaultdict(int)
     category_counts: Dict[str, int] = defaultdict(int)
+    subclass_counts: Dict[str, Dict[str, int]] = defaultdict(lambda: defaultdict(int))
     durations = []
     for item in annotations:
         bps = item.get("breakpoint", [])
         total_questions += len(bps)
-        category_counts[item["info"].get("class_1", "?")] += 1
+        c1 = item["info"].get("class_1", "?")
+        category_counts[c1] += 1
+        subclass_counts[c1][item["info"].get("class_2", "?")] += 1
         for q in bps:
             class_counts[q.get("class", "?")] += 1
         if bps:
@@ -41,12 +44,14 @@ def annotation_stats(annotations: List[dict], video_dir: Optional[str] = None) -
         "num_questions": total_questions,
         "question_classes": dict(class_counts),
         "categories": dict(category_counts),
+        "subclasses": {k: dict(v) for k, v in subclass_counts.items()},
     }
     if durations:
         out["video_seconds"] = {
             "total": sum(durations),
             "mean": sum(durations) / len(durations),
             "max": max(durations),
+            "per_video": durations,
         }
     return out
 
@@ -109,6 +114,15 @@ def main(argv=None) -> None:
     cp.add_argument("--video_dir", required=True)
     cp.add_argument("--open_check", action="store_true")
 
+    pp = sub.add_parser(
+        "plots",
+        help="distribution PNGs: duration histogram, question-class pie, "
+             "domain/subclass sunburst (reference tools/static.py + "
+             "draw_sun_pic.py)",
+    )
+    pp.add_argument("--annotations", required=True)
+    pp.add_argument("--out_dir", default=".")
+
     args = p.parse_args(argv)
     with open(args.annotations, encoding="utf-8") as f:
         annotations = json.load(f)
@@ -123,6 +137,30 @@ def main(argv=None) -> None:
     elif args.cmd == "check-videos":
         bad = check_videos(annotations, args.video_dir, args.open_check)
         print(json.dumps({"missing_or_broken": bad, "count": len(bad)}, indent=2))
+    elif args.cmd == "plots":
+        from streamchat_tpu.tools.visualize import (
+            plot_category_sunburst,
+            plot_class_pie,
+            plot_duration_histogram,
+        )
+
+        stats = annotation_stats(annotations)
+        os.makedirs(args.out_dir, exist_ok=True)
+        wrote = []
+        if stats.get("video_seconds", {}).get("per_video"):
+            path = os.path.join(
+                args.out_dir, "video_time_distribution_histogram.png")
+            plot_duration_histogram(stats["video_seconds"]["per_video"], path)
+            wrote.append(path)
+        if stats["question_classes"]:
+            path = os.path.join(args.out_dir, "class_distribution_pie_chart.png")
+            plot_class_pie(stats["question_classes"], path)
+            wrote.append(path)
+        if stats["subclasses"]:
+            path = os.path.join(args.out_dir, "category_sunburst.png")
+            plot_category_sunburst(stats["subclasses"], path)
+            wrote.append(path)
+        print(json.dumps({"wrote": wrote}, indent=2))
 
 
 if __name__ == "__main__":

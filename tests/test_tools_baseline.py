@@ -13,12 +13,16 @@ from streamchat_tpu.tools.streambench import (
 )
 
 ANNOS = [
-    {"info": {"video_path": f"v{i}.mp4", "class_1": cat},
+    {"info": {"video_path": f"v{i}.mp4", "class_1": cat,
+              "class_2": sub},
      "breakpoint": [
          {"question": "q", "answer": "a", "class": "OCP", "time": 5},
          {"question": "q2", "answer": "a2", "class": "CT", "time": 9},
      ]}
-    for i, cat in enumerate(["Ego", "Ego", "Ego", "Movie", "Movie", "Web"])
+    for i, (cat, sub) in enumerate([
+        ("Ego", "Cooking"), ("Ego", "Cooking"), ("Ego", "Room-Tour"),
+        ("Movie", "Drama"), ("Movie", "Action"), ("Web", "Show"),
+    ])
 ]
 
 
@@ -59,6 +63,46 @@ class TestTools:
             "--per_category", "1", "--output", str(dst),
         ])
         assert len(json.loads(dst.read_text())) == 3
+
+    def test_stats_subclass_nesting(self):
+        s = annotation_stats(ANNOS)
+        assert s["subclasses"]["Ego"] == {"Cooking": 2, "Room-Tour": 1}
+        assert s["subclasses"]["Movie"] == {"Drama": 1, "Action": 1}
+        assert s["video_seconds"]["per_video"] == [9] * 6
+
+    def test_distribution_plots(self, tmp_path):
+        """Reference parity: tools/static.py histogram + pie,
+        draw_sun_pic.py sunburst — computed values and PNG artifacts."""
+        from streamchat_tpu.tools.visualize import (
+            plot_category_sunburst,
+            plot_class_pie,
+            plot_duration_histogram,
+        )
+
+        s = annotation_stats(ANNOS)
+        counts = plot_duration_histogram(
+            s["video_seconds"]["per_video"], str(tmp_path / "h.png"), bins=4)
+        assert counts.sum() == 6
+        frac = plot_class_pie(s["question_classes"], str(tmp_path / "p.png"))
+        assert frac == {"CT": 0.5, "OCP": 0.5}
+        totals = plot_category_sunburst(
+            s["subclasses"], str(tmp_path / "s.png"))
+        assert totals == {"Ego": 3, "Movie": 2, "Web": 1}
+
+    def test_cli_plots(self, tmp_path, capsys):
+        from streamchat_tpu.tools import streambench
+
+        ann = tmp_path / "a.json"
+        ann.write_text(json.dumps(ANNOS))
+        streambench.main([
+            "plots", "--annotations", str(ann), "--out_dir", str(tmp_path),
+        ])
+        out = json.loads(capsys.readouterr().out)
+        import os
+
+        written = [p for p in out["wrote"] if os.path.exists(p)]
+        # matplotlib present in this environment -> all three PNGs land
+        assert len(written) == len(out["wrote"]) == 3
 
 
 class TestBaseline:
