@@ -121,6 +121,39 @@ def device_seconds_by_phase(
     return out
 
 
+def device_op_table(trace_dir: str, top: int = 25) -> List[dict]:
+    """Top device ops by summed duration: [{"name", "total_s", "count"}].
+
+    Per device pid, only the tid carrying the MOST complete events is
+    tabulated — that is the per-op lane; module-level lanes mirror one
+    whole-program event per launch and would dwarf every op. Rows sorted by
+    total_s descending.
+    """
+    path = find_trace_file(trace_dir)
+    events = load_trace_events(path)
+    dev_pids = _device_pids(events)
+    by_lane: Dict[Tuple, List[dict]] = {}
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in dev_pids:
+            by_lane.setdefault((e.get("pid"), e.get("tid")), []).append(e)
+    agg: Dict[str, List[float]] = {}
+    by_pid: Dict[object, List[Tuple[Tuple, List[dict]]]] = {}
+    for key, evs in by_lane.items():
+        by_pid.setdefault(key[0], []).append((key, evs))
+    for lanes in by_pid.values():
+        _, evs = max(lanes, key=lambda kv: len(kv[1]))
+        for e in evs:
+            rec = agg.setdefault(str(e.get("name", "")), [0.0, 0])
+            rec[0] += float(e.get("dur", 0.0))
+            rec[1] += 1
+    rows = [
+        {"name": n, "total_s": round(t / 1e6, 5), "count": c}
+        for n, (t, c) in agg.items()
+    ]
+    rows.sort(key=lambda r: -r["total_s"])
+    return rows[:top]
+
+
 def host_events_in_phase(
     trace_dir: str, phase: str, top: int = 20, prefix: str = "phase="
 ) -> List[dict]:

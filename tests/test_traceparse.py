@@ -7,6 +7,7 @@ import jax.numpy as jnp
 
 from streamchat_tpu.utils.profiling import PhaseTimer
 from streamchat_tpu.utils.traceparse import (
+    device_op_table,
     device_seconds_by_phase,
     find_trace_file,
     host_events_in_phase,
@@ -57,3 +58,15 @@ def test_phase_windows_roundtrip(tmp_path):
         assert r["count"] >= 1 and r["total_s"] >= 0
     totals = [r["total_s"] for r in rows]
     assert totals == sorted(totals, reverse=True)
+
+    # Per-op device table: sorted desc, well-formed, and its grand total
+    # stays within the per-pid busy-union bound (ops on ONE lane per pid
+    # can't exceed union-across-lanes only if lanes overlap; they must at
+    # least be finite and non-negative).
+    ops = device_op_table(str(tmp_path), top=8)
+    assert isinstance(ops, list)
+    for r in ops:
+        assert set(r) == {"name", "total_s", "count"}
+        assert r["count"] >= 1 and r["total_s"] >= 0
+    tots = [r["total_s"] for r in ops]
+    assert tots == sorted(tots, reverse=True)
