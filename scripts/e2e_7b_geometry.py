@@ -641,10 +641,18 @@ def stage2_judge(save_file, report, args=None):
     # output — proving judged-row flow (llama_pred/score -> accuracy) through
     # the same stage-2/3 code on the same chip. Rows are marked.
     def forced_generate(prompts):
-        raw = lm.generate_batch(prompts, max_new_tokens=64)
+        # judge_predictions(batch_size=1) passes a BARE STRING (the
+        # reference's one-at-a-time granularity); batch_size>1 passes a
+        # list. Normalize — iterating a string hands generate_batch one
+        # row PER CHARACTER (run r4-B: a 1329-char prompt became a
+        # batch-1329 KV pool, a 22 GB pad, and a poisoned allocator).
+        single = isinstance(prompts, str)
+        plist = [prompts] if single else prompts
+        raw = lm.generate_batch(plist, max_new_tokens=64)
         verdicts = ["{'llama_pred': 'yes', 'score': 4}",
                     "{'llama_pred': 'no', 'score': 1}"]
-        return [r + " " + verdicts[i % 2] for i, r in enumerate(raw)]
+        out = [r + " " + verdicts[i % 2] for i, r in enumerate(raw)]
+        return out[0] if single else out
 
     forced = [dict(p, forced_parse=True) for p in predictions]
     judged_forced = judge_mod.judge_predictions(

@@ -89,6 +89,12 @@ class TextLM:
         per-prediction HF generate, one prompt at a time, is the reference's
         eval bottleneck — inference_streamchat_v0.3.sh works around it with
         per-GPU process fan-out)."""
+        if isinstance(prompts, str):
+            # A bare string iterates as characters -> one batch ROW per
+            # char (a 1.3k-char judge prompt once compiled a 22 GB KV
+            # pool). Fail loudly instead.
+            raise TypeError("generate_batch expects a list of prompts; "
+                            "got a bare str — use generate() instead")
         if not prompts:
             return []
         from streamchat_tpu.ops.quant import embed_dim, embed_dtype

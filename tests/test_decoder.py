@@ -130,6 +130,17 @@ def test_ragged_batch_decode_matches_single(key):
     assert batch == singles
 
 
+def test_generate_batch_rejects_bare_string(key):
+    """A bare str iterates as characters — one KV row PER CHAR (a 1.3k-char
+    judge prompt once compiled a 22 GB pool on-chip). Must fail loudly."""
+    from streamchat_tpu.config import DecoderConfig
+    from streamchat_tpu.models.textlm import TextLM
+
+    lm = TextLM.init_random(key, DecoderConfig.tiny(), dtype=jnp.float32)
+    with pytest.raises(TypeError, match="list of prompts"):
+        lm.generate_batch("a bare prompt string", max_new_tokens=2)
+
+
 class TestChunkedPrefill:
     """decoder.prefill_chunked: bounded-activation long-prompt prefill."""
 
