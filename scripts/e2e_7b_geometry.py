@@ -754,6 +754,8 @@ def main():
         try:
             stage2_judge(report["stage1_save_file"], report, args)
             stage3_scoring(report)
+            # A successful rerun supersedes a prior failed attempt's marker.
+            report.pop("stage23_failed_rc", None)
         finally:
             compute_projections(report)
             _write_artifact(args.stage23_from, report)

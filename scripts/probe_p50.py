@@ -43,12 +43,18 @@ def main():
     p.add_argument("--pool_block", type=int, default=None,
                    help="force pages per sequential-pool grid step (A/B the "
                         "8/16/32 DMA-tail vs grid-overhead trade at this ctx)")
+    p.add_argument("--table_kernel", action="store_true",
+                   help="force the page-table-indexed decode kernel (A/B the "
+                        "kernel CHOICE vs the sequential-pool kernel)")
     args = p.parse_args()
 
-    if args.pool_block is not None:
+    if args.pool_block is not None or args.table_kernel:
         from streamchat_tpu.ops import paged_attention as pa
 
-        pa.SEQ_POOL_BLOCK_OVERRIDE = args.pool_block
+        if args.pool_block is not None:
+            pa.SEQ_POOL_BLOCK_OVERRIDE = args.pool_block
+        if args.table_kernel:
+            pa.SEQ_KERNEL_OVERRIDE = False
 
     from streamchat_tpu.config import DecoderConfig
     from streamchat_tpu.models import decoder
@@ -80,8 +86,9 @@ def main():
             times.append(time.perf_counter() - t0)
         print(json.dumps({
             "tag": tag, "ctx": args.ctx, "max_new": max_new,
-            # effective pages/grid-step at this probe's pool size (page 64)
-            "seq_pool_block": seq_pool_block(-(-(args.ctx + max_new) // 64)),
+            # effective pages/grid-step at this probe's pool size (page 128)
+            "seq_pool_block": (None if args.table_kernel else
+                               seq_pool_block(-(-(args.ctx + max_new) // 128))),
             "p50_s": round(median(times), 4),
             "rounds_s": [round(t, 4) for t in times],
         }), flush=True)

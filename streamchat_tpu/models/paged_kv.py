@@ -29,6 +29,13 @@ from streamchat_tpu.config import DecoderConfig
 from streamchat_tpu.ops.attention import DEFAULT_MASK_VALUE
 
 
+def _use_seq_kernel(sequential_pages: bool) -> bool:
+    """Kernel-choice dispatch, deferred so the probe override is honored."""
+    from streamchat_tpu.ops.paged_attention import use_seq_kernel
+
+    return use_seq_kernel(sequential_pages)
+
+
 class PagedKVCache(NamedTuple):
     k_pages: jnp.ndarray      # [L, num_pages, Hkv, page_size, Dh]
     v_pages: jnp.ndarray      # [L, num_pages, Hkv, page_size, Dh]
@@ -152,7 +159,18 @@ def append_token_kv(
     #     the contiguous path's static-index chain aliases fine);
     #   * a per-row lax.scan whose carry was the full pool.
     def write(pages, val):
-        return pages.at[layer, page_idx, :, offset].set(val.astype(pages.dtype))
+        val = val.astype(pages.dtype)
+        if val.shape[0] == 1:
+            # Single row: one in-place dynamic-update-slice (scalar starts).
+            # The batched advanced-indexing form below lowers to an HLO
+            # scatter, which costs ~0.4 ms/decode-step more at 7B geometry
+            # (56 scatters/step; round-4 A/B via scripts/probe_p50.py) —
+            # the round-3 answer-p50 regression.
+            upd = val[0][None, None, :, None, :]        # [1,1,H,1,D]
+            return jax.lax.dynamic_update_slice(
+                pages, upd, (layer, page_idx[0], 0, offset[0], 0)
+            )
+        return pages.at[layer, page_idx, :, offset].set(val)
 
     return cache._replace(
         k_pages=write(cache.k_pages, k), v_pages=write(cache.v_pages, v)
@@ -292,7 +310,7 @@ def decode_step_paged(
             if collect_mass:
                 o, mass = o
                 masses.append(mass)
-        elif sequential_pages:
+        elif _use_seq_kernel(sequential_pages):
             # TPU, pool in row order: single rows are identity-mapped by
             # construction (from_contiguous / sequential allocs /
             # compress_paged); batched rows must be statically partitioned
@@ -619,6 +637,18 @@ def append_token_kv_int8(
     # pool-sized buffers per call.
     def write(pages, scales, val):
         vals, s = _quantize_kv(val)
+        if vals.shape[0] == 1:
+            # Single row: scalar-start DUS instead of an HLO scatter — see
+            # append_token_kv (the round-3 answer-p50 regression).
+            pages = jax.lax.dynamic_update_slice(
+                pages, vals[0][None, None, :, None, :],
+                (layer, page_idx[0], 0, offset[0], 0),
+            )
+            scales = jax.lax.dynamic_update_slice(
+                scales, s[0][None, None, :, None],
+                (layer, page_idx[0], 0, offset[0]),
+            )
+            return pages, scales
         pages = pages.at[layer, page_idx, :, offset].set(vals)
         scales = scales.at[layer, page_idx, :, offset].set(s)
         return pages, scales
@@ -687,7 +717,7 @@ def decode_step_paged_int8(
         q = decoder.rope(q, positions, cfg.rope_theta)
         k = decoder.rope(k, positions, cfg.rope_theta)
         cache = append_token_kv_int8(cache, i, k[:, :, 0], v[:, :, 0])
-        if jax.default_backend() == "tpu" and sequential_pages:
+        if jax.default_backend() == "tpu" and _use_seq_kernel(sequential_pages):
             # Identity/partitioned row-order pool: seq_pool_block-page
             # all-head blocks, static per-head scale slices (no one-hot) —
             # see decode_step_paged.

@@ -42,6 +42,20 @@ SEQ_POOL_BLOCK = 32
 SEQ_POOL_BLOCK_OVERRIDE: int | None = None
 
 
+# Probe hook (scripts/probe_p50.py --table_kernel): False forces the
+# page-table-indexed kernel even for sequential pools, so the kernel
+# CHOICE (table vs sequential-pool streaming) can be A/B-measured on-chip
+# at a given context. None = dispatch by pool layout (the production rule).
+SEQ_KERNEL_OVERRIDE: bool | None = None
+
+
+def use_seq_kernel(sequential_pages: bool) -> bool:
+    """Trace-time dispatch between the sequential-pool and table kernels."""
+    if SEQ_KERNEL_OVERRIDE is not None:
+        return sequential_pages and SEQ_KERNEL_OVERRIDE
+    return sequential_pages
+
+
 def seq_pool_block(row_pages: int) -> int:
     """Pages per sequential-pool grid step for a row of `row_pages` pages.
 
