@@ -41,7 +41,15 @@ def main():
     p.add_argument("--max_new", type=int, default=128)
     p.add_argument("--kv_int8", action="store_true",
                    help="int8 KV pages (default bf16 — the chunk-20 e2e path)")
+    p.add_argument("--trace", action="store_true",
+                   help="profile ONE warm prefill and print the per-op "
+                        "device-time table (where the 23k-token prefill's "
+                        "~31%% MXU-roofline gap actually goes)")
+    p.add_argument("--skip_batch_and_decode", action="store_true",
+                   help="prefill-only run (fast A/B of prefill changes)")
     args = p.parse_args()
+    if args.skip_batch_and_decode:
+        args.batch = 1
 
     assert jax.default_backend() == "tpu", "requires the real chip"
     from streamchat_tpu.config import DecoderConfig
@@ -84,6 +92,22 @@ def main():
         return sum(warm) / len(warm)
 
     t_prefill = run(1, 1, "prefill(+1tok)")
+    if args.trace:
+        from streamchat_tpu.utils.traceparse import device_op_table
+
+        trace_dir = "/tmp/caption_prefill_trace"
+        embeds = (jax.random.normal(jax.random.key(1), (1, s, d), jnp.bfloat16)
+                  * 0.02)
+        lengths = jnp.ones((1,), jnp.int32) * s
+        jax.profiler.start_trace(trace_dir)
+        timed(generate_paged, params, cfg, embeds, lengths, jax.random.key(9),
+              max_new_tokens=1, page_size=128, kv_int8=args.kv_int8,
+              temperature=0.0)
+        jax.profiler.stop_trace()
+        for row in device_op_table(trace_dir, top=20):
+            print(json.dumps(row), flush=True)
+    if args.skip_batch_and_decode:
+        return 0
     t_full = run(1, args.max_new, "full")
     print(json.dumps({
         "phase": "decode_attrib",

@@ -267,6 +267,7 @@ def _layer(
     chunked: bool = False,
     cache_ks: jnp.ndarray | None = None,
     cache_vs: jnp.ndarray | None = None,
+    kv_view: int | None = None,
 ):
     """One transformer block. Returns (x, new_k, new_v, new_ks, new_vs);
     the scale entries are None unless the cache is int8.
@@ -307,15 +308,33 @@ def _layer(
 
         new_ks = jax.vmap(write_scale)(cache_ks, k_sc, start)
         new_vs = jax.vmap(write_scale)(cache_vs, v_sc, start)
-        # Dequantized per-layer view for attention (~50 MB at 7B/23k — the
-        # whole point is never materializing the full bf16 cache).
-        kd = (new_k.astype(jnp.float32) * new_ks[..., None]).astype(k.dtype)
-        vd = (new_v.astype(jnp.float32) * new_vs[..., None]).astype(v.dtype)
     else:
         new_k = jax.vmap(write_row)(cache_k, k.astype(cache_k.dtype), start)
         new_v = jax.vmap(write_row)(cache_v, v.astype(cache_v.dtype), start)
         new_ks = new_vs = None
-        kd, vd = new_k, new_v
+
+    # Attention view. Chunked prefill passes a STATIC kv_view bound — the
+    # chunk's causal horizon off+width, 128-aligned (the chunk loop is
+    # unrolled, so each chunk's bound is a Python int): the flash grid and
+    # the int8 dequant then cover only LIVE keys instead of the full Lmax.
+    # Without it, chunk 0 of a 23k-token prompt streams ~95% dead kv blocks
+    # and every chunk re-dequantizes the whole cache.
+    if kv_view is not None and not decode:
+        sel_k = jax.lax.slice_in_dim(new_k, 0, kv_view, axis=2)
+        sel_v = jax.lax.slice_in_dim(new_v, 0, kv_view, axis=2)
+        sel_ks = (jax.lax.slice_in_dim(new_ks, 0, kv_view, axis=2)
+                  if int8_cache else None)
+        sel_vs = (jax.lax.slice_in_dim(new_vs, 0, kv_view, axis=2)
+                  if int8_cache else None)
+    else:
+        sel_k, sel_v, sel_ks, sel_vs = new_k, new_v, new_ks, new_vs
+    if int8_cache:
+        # Dequantized per-layer view for attention (~50 MB at 7B/23k — the
+        # whole point is never materializing the full bf16 cache).
+        kd = (sel_k.astype(jnp.float32) * sel_ks[..., None]).astype(k.dtype)
+        vd = (sel_v.astype(jnp.float32) * sel_vs[..., None]).astype(v.dtype)
+    else:
+        kd, vd = sel_k, sel_v
 
     if decode:
         o = decode_attention(q, kd, vd, kv_length)
@@ -343,11 +362,14 @@ def forward(
     *,
     decode: bool,
     chunked: bool = False,
+    kv_view: int | None = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Run the stack over input embeddings.
 
     embeds: [B, S, D]; positions: [B, S]; seq_length: [B] — number of valid
     tokens in `embeds` (rest is padding). Returns (hidden [B, S, D], cache).
+    kv_view: static upper bound on live cache tokens for THIS call's
+    attention (chunked prefill's causal horizon; see _layer).
     """
     start = cache.length
     kv_length = cache.length + seq_length
@@ -366,6 +388,7 @@ def forward(
             chunked,
             cache_ks=cks[i] if int8_cache else None,
             cache_vs=cvs[i] if int8_cache else None,
+            kv_view=kv_view,
         )
         ck = jax.lax.dynamic_update_index_in_dim(ck, nk.astype(ck.dtype), i, 0)
         cv = jax.lax.dynamic_update_index_in_dim(cv, nv.astype(cv.dtype), i, 0)
@@ -515,6 +538,10 @@ def prefill_chunked(
             params, cfg, blk, positions, cache,
             jnp.full((b,), width, jnp.int32),
             decode=False, chunked=off > 0,
+            # Static causal horizon: this chunk sees exactly off+width live
+            # keys (128-aligned by construction) — the flash grid and int8
+            # dequant shrink to it instead of covering the full Lmax.
+            kv_view=off + width if off > 0 else None,
         )
         if off == final_off:
             hidden_last = hidden             # [B, final_width, D], post-norm
