@@ -69,6 +69,41 @@ def test_paged_attention_matches_contiguous(cfg, key):
     np.testing.assert_allclose(np.asarray(paged), np.asarray(ref), atol=1e-5)
 
 
+def test_b1_append_avoids_hlo_gather_update(cfg, key):
+    """b=1 appends must lower to dynamic-update-slice, not an HLO scatter
+    op — 56 of them per decode step cost ~1.6 ms/tok at 7B geometry (the
+    round-3 answer-p50 regression, root-caused round 4). Matches the op
+    syntax `scatter(` so names in embedded metadata can't false-positive."""
+    from streamchat_tpu.models.paged_kv import (
+        PagedKVCacheInt8, append_token_kv_int8,
+    )
+
+    cache = PagedKVCache.create(cfg, batch=1, num_pages=8,
+                                max_pages_per_seq=8, page_size=4,
+                                dtype=jnp.float32)
+    cache = allocate_pages(cache, jnp.ones((1,), jnp.int32))
+    k_tok = jax.random.normal(key, (1, cfg.num_kv_heads, cfg.head_dim))
+    hlo = jax.jit(lambda c, k, v: append_token_kv(c, 2, k, v)).lower(
+        cache, k_tok, k_tok
+    ).compile().as_text()
+    assert "scatter(" not in hlo
+
+    L, hkv, dh, ps = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim, 4
+    cache8 = PagedKVCacheInt8(
+        k_pages=jnp.zeros((L, 8, hkv, ps, dh), jnp.int8),
+        v_pages=jnp.zeros((L, 8, hkv, ps, dh), jnp.int8),
+        k_scale=jnp.zeros((L, 8, hkv, ps), jnp.float32),
+        v_scale=jnp.zeros((L, 8, hkv, ps), jnp.float32),
+        page_table=jnp.full((1, 8), -1, jnp.int32).at[0, 0].set(0),
+        length=jnp.zeros((1,), jnp.int32),
+        next_free=jnp.ones((), jnp.int32),
+    )
+    hlo8 = jax.jit(lambda c, k, v: append_token_kv_int8(c, 2, k, v)).lower(
+        cache8, k_tok, k_tok
+    ).compile().as_text()
+    assert "scatter(" not in hlo8
+
+
 def test_ragged_lengths(cfg, key):
     """Rows at different lengths mask correctly."""
     b, hkv, dh, hq = 2, cfg.num_kv_heads, cfg.head_dim, cfg.num_heads
