@@ -95,9 +95,18 @@ def _flash_kernel(
     # Skip KV tiles fully above the causal diagonal and fully past kv_len.
     diag_ok = ((qi + 1) * block_q - 1) >= (kj * block_k) if causal else True
     live = jnp.logical_and(diag_ok, kj * block_k < kv_len)
+    # Interior tiles (see _flash_partial_kernel): no per-element masking —
+    # the iota/compare/select VPU passes between the two MXU dots were the
+    # bulk of the kernel's ~43% roofline gap on long prefills.
+    fully_live = (kj + 1) * block_k <= kv_len
+    if causal:
+        interior = jnp.logical_and(
+            fully_live, qi * block_q >= (kj + 1) * block_k - 1
+        )
+    else:
+        interior = fully_live
 
-    @pl.when(live)
-    def _run():
+    def _tile(masked: bool):
         # Keep Q/K in their storage dtype for the dot (bf16 runs the MXU at
         # full rate; upcasting to f32 first quarters it) and accumulate f32.
         q = q_ref[0, 0]                                         # [bq, d]
@@ -107,12 +116,15 @@ def _flash_kernel(
         )                                                       # [bq, bk]
         s *= sm_scale
 
-        row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + qi * block_q
-        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kj * block_k
-        mask = col < kv_len
-        if causal:
-            mask = jnp.logical_and(mask, col <= row)
-        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+        if masked:
+            row = (jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+                   + qi * block_q)
+            col = (jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+                   + kj * block_k)
+            mask = col < kv_len
+            if causal:
+                mask = jnp.logical_and(mask, col <= row)
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_scratch[...]                                 # [bq, 128]
         l_prev = l_scratch[...]
@@ -125,15 +137,24 @@ def _flash_kernel(
         l_scratch[...] = l_next
 
         v = v_ref[0, 0]                                         # [bk, d]
-        if ragged_k:
+        if masked and ragged_k:
             # Edge KV blocks read Pallas-padded garbage whose bit patterns
             # can decode as NaN; p==0 does NOT neutralize NaN in the dot
             # (0*NaN=NaN), so zero the garbage rows of v explicitly.
-            vrow = jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0) + kj * block_k
+            vrow = (jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)
+                    + kj * block_k)
             v = jnp.where(vrow < kv_len, v, jnp.zeros_like(v))
         acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + jax.lax.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
+
+    @pl.when(jnp.logical_and(live, interior))
+    def _run_interior():
+        _tile(masked=False)
+
+    @pl.when(jnp.logical_and(live, jnp.logical_not(interior)))
+    def _run_boundary():
+        _tile(masked=True)
 
     @pl.when(kj == num_kv_blocks - 1)
     def _store():
@@ -354,21 +375,35 @@ def _flash_partial_kernel(
     else:
         diag_ok = True
     live = jnp.logical_and(diag_ok, kj * block_k < kv_len)
+    # Interior tiles — every column valid (kv edge not crossed) and the
+    # whole tile strictly below the causal diagonal — need NO per-element
+    # masking. The iota/compare/select passes over the [bq, bk] f32 tile are
+    # VPU work serialized between the two MXU dots, and interior tiles are
+    # the vast majority of a long prefill (the traced 23k chunked prefill
+    # ran this kernel at ~57% of the MXU floor before this split).
+    fully_live = (kj + 1) * block_k <= kv_len
+    if causal:
+        fully_below = (q_off + qi * block_q) >= (k_off + (kj + 1) * block_k - 1)
+        interior = jnp.logical_and(fully_live, fully_below)
+    else:
+        interior = fully_live
 
-    @pl.when(live)
-    def _run():
+    def _tile(masked: bool):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * sm_scale
 
-        row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + qi * block_q
-        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + kj * block_k
-        mask = col < kv_len
-        if causal:
-            mask = jnp.logical_and(mask, k_off + col <= q_off + row)
-        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+        if masked:
+            row = (jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+                   + qi * block_q)
+            col = (jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+                   + kj * block_k)
+            mask = col < kv_len
+            if causal:
+                mask = jnp.logical_and(mask, k_off + col <= q_off + row)
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_scratch[...]
         l_prev = l_scratch[...]
@@ -376,22 +411,33 @@ def _flash_partial_kernel(
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp(m_prev - m_next)
         p = jnp.exp(s - m_next[:, :1])
-        # Rows with every key masked in EVERY tile so far would accumulate
-        # exp(DMV - DMV) = 1 poison that never washes out when the row stays
-        # fully masked for the whole shard pair (common in ring: a diagonal
-        # shard's top rows). Zero them explicitly.
-        p = jnp.where((m_next[:, :1] > DEFAULT_MASK_VALUE / 2), p, 0.0)
+        if masked:
+            # Rows with every key masked in EVERY tile so far would
+            # accumulate exp(DMV - DMV) = 1 poison that never washes out
+            # when the row stays fully masked for the whole shard pair
+            # (common in ring: a diagonal shard's top rows). Zero them
+            # explicitly. (An interior tile's rows all have real maxima.)
+            p = jnp.where((m_next[:, :1] > DEFAULT_MASK_VALUE / 2), p, 0.0)
         l_scratch[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scratch[...] = m_next
 
         v = v_ref[0, 0]
-        if ragged_k:
+        if masked and ragged_k:
             # See _flash_kernel: NaN garbage in edge-block v survives p==0.
-            vrow = jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0) + kj * block_k
+            vrow = (jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)
+                    + kj * block_k)
             v = jnp.where(vrow < kv_len, v, jnp.zeros_like(v))
         acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + jax.lax.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
+
+    @pl.when(jnp.logical_and(live, interior))
+    def _run_interior():
+        _tile(masked=False)
+
+    @pl.when(jnp.logical_and(live, jnp.logical_not(interior)))
+    def _run_boundary():
+        _tile(masked=True)
 
     @pl.when(kj == num_kv_blocks - 1)
     def _store():
