@@ -46,6 +46,9 @@ def main():
     p.add_argument("--table_kernel", action="store_true",
                    help="force the page-table-indexed decode kernel (A/B the "
                         "kernel CHOICE vs the sequential-pool kernel)")
+    p.add_argument("--int4", action="store_true",
+                   help="group-128 int4 weights instead of int8 (the fused "
+                        "Pallas matvec decode path)")
     args = p.parse_args()
 
     if args.pool_block is not None or args.table_kernel:
@@ -64,7 +67,8 @@ def main():
 
     cfg = dataclasses.replace(DecoderConfig.qwen2_7b(), num_layers=args.layers)
     params = decoder.init(jax.random.key(0), cfg, jnp.bfloat16)
-    params = quantize_decoder_params(params, destructive=True)
+    params = quantize_decoder_params(params, destructive=True,
+                                     bits=4 if args.int4 else 8)
     gc.collect()
     embeds = (jax.random.normal(jax.random.key(1), (1, args.ctx, cfg.hidden_size))
               * 0.02).astype(jnp.bfloat16)
