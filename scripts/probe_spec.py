@@ -1,0 +1,139 @@
+"""Speculative-decode probe at 7B geometry on the real chip.
+
+Measures, at the bench's answer shape (4k-token prefill + 256-token greedy
+decode, int8 weights, b=1):
+
+1. vanilla decode (spec_tokens=0) — the baseline step cost;
+2. the verify-step cost at block size T (spec_tokens=T-1) with an
+   EMPTY lookup corpus — worst case: near-zero acceptance, every step pays
+   the T-token block for ~1 emitted token. The ratio step_T/step_1 is the
+   overhead factor; speedup = accepted_per_step / ratio;
+3. the same with an ORACLE corpus (the vanilla run's own output as
+   lookup_tokens) — the mechanism's ceiling: near-full acceptance.
+
+With random weights there is no real text for the n-gram drafter to exploit,
+so (2)/(3) bracket the production range honestly; real-checkpoint acceptance
+sits between them (answers quote retrieved captions that ARE in the lookup
+corpus). Prints one JSON line per config.
+
+Run: timeout 900 python scripts/probe_spec.py [--spec 7] [--layers 28]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--layers", type=int, default=28)
+    p.add_argument("--rounds", type=int, default=3)
+    p.add_argument("--ctx", type=int, default=4096)
+    p.add_argument("--max_new", type=int, default=256)
+    p.add_argument("--spec", type=int, default=7,
+                   help="draft tokens per verify step (block = spec+1)")
+    p.add_argument("--ngram", type=int, default=3)
+    p.add_argument("--int4", action="store_true")
+    p.add_argument("--skip_oracle", action="store_true")
+    args = p.parse_args()
+
+    from streamchat_tpu.config import DecoderConfig
+    from streamchat_tpu.models import decoder
+    from streamchat_tpu.models.generate_paged import generate_paged
+    from streamchat_tpu.ops.quant import quantize_decoder_params
+
+    cfg = dataclasses.replace(DecoderConfig.qwen2_7b(), num_layers=args.layers)
+    params = decoder.init(jax.random.key(0), cfg, jnp.bfloat16)
+    params = quantize_decoder_params(params, destructive=True,
+                                     bits=4 if args.int4 else 8)
+    gc.collect()
+    embeds = (jax.random.normal(jax.random.key(1), (1, args.ctx, cfg.hidden_size))
+              * 0.02).astype(jnp.bfloat16)
+    seq_len = jnp.array([args.ctx - 7], jnp.int32)
+
+    def run(tag, spec_tokens, lookup=None):
+        kw = dict(max_new_tokens=args.max_new, temperature=0.0,
+                  eos_ids=(-1,))
+        if spec_tokens:
+            kw.update(spec_tokens=spec_tokens, spec_ngram=args.ngram,
+                      spec_stats=True)
+            if lookup is not None:
+                kw["lookup_tokens"] = lookup
+
+        def one(key):
+            res = generate_paged(params, cfg, embeds, seq_len, key, **kw)
+            # float() the count to force a full host sync through the relay
+            return float(res[1][0]), (int(res[2]) if spec_tokens else None)
+
+        _, _ = one(jax.random.key(2))
+        times, steps = [], None
+        for i in range(args.rounds):
+            t0 = time.perf_counter()
+            _, steps = one(jax.random.key(3 + i))
+            times.append(time.perf_counter() - t0)
+        out = {
+            "tag": tag, "ctx": args.ctx, "max_new": args.max_new,
+            "spec_tokens": spec_tokens,
+            "p50_s": round(median(times), 4),
+            "rounds_s": [round(t, 4) for t in times],
+        }
+        if steps is not None:
+            out["verify_steps"] = steps
+            out["tokens_per_step"] = round(args.max_new / max(steps, 1), 2)
+        print(json.dumps(out), flush=True)
+        return median(times), steps
+
+    t_van, _ = run("vanilla", 0)
+    toks = None
+    if not args.skip_oracle:
+        # capture the greedy continuation once for the oracle corpus
+        res = generate_paged(
+            params, cfg, embeds, seq_len, jax.random.key(2),
+            max_new_tokens=args.max_new, temperature=0.0, eos_ids=(-1,),
+        )
+        toks = jnp.asarray(jax.device_get(res[0]))
+    t_cold, steps_cold = run("spec_no_lookup", args.spec)
+    if toks is not None:
+        t_orc, steps_orc = run("spec_oracle", args.spec, lookup=toks)
+
+    # attribution: per-verify-step cost vs the vanilla per-token step
+    van_step_ms = None
+    summary = {
+        "tag": "summary",
+        "vanilla_p50_s": round(t_van, 4),
+        "spec_no_lookup_p50_s": round(t_cold, 4),
+    }
+    if steps_cold:
+        # no-lookup acceptance ~0 -> steps ~= max_new: the time ratio IS the
+        # per-step overhead of the T-token verify vs the 1-token step.
+        summary["verify_block_overhead_x"] = round(
+            (t_cold / steps_cold) / (t_van / args.max_new), 3
+        )
+    if toks is not None and steps_orc:
+        summary["oracle_p50_s"] = round(t_orc, 4)
+        summary["oracle_tokens_per_step"] = round(
+            args.max_new / steps_orc, 2
+        )
+        summary["oracle_speedup_x"] = round(t_van / t_orc, 3)
+    print(json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

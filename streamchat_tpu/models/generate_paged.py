@@ -83,13 +83,13 @@ def generate_paged_fetch(params, cfg, prompt_embeds, seq_length, key, **kwargs):
     round trip (~50-90 ms each on the relayed backend). Here the flag rides
     the same transfer as the tokens.
     """
-    toks, count, over = _generate_paged_any(
+    res = _generate_paged_any(
         params, cfg, prompt_embeds, seq_length, key, **kwargs
     )
-    toks_np, count_np, over_np = jax.device_get((toks, count, over))
-    if bool(over_np):
+    res_np = jax.device_get(res)
+    if bool(res_np[2]):
         raise RuntimeError(_OVERFLOW_MSG)
-    return toks_np, count_np
+    return (res_np[0], res_np[1]) + tuple(res_np[3:])
 
 
 _OVERFLOW_MSG = (
@@ -130,13 +130,23 @@ def generate_paged(
     HERE, on the host, once the program returns (VERDICT r2 weak #4). When
     this wrapper itself runs under an outer trace the flag cannot be
     checked; such callers get the raw flag via _generate_paged_jit.
+
+    spec_tokens > 0 enables speculative decoding (models/spec_decode):
+    prompt-lookup n-gram drafting (spec_ngram, over `lookup_tokens` — e.g.
+    the text prompt — plus everything generated) with exact greedy /
+    rejection-sampled verification; decode at 7B is weight-bandwidth bound,
+    so accepted drafts are nearly free tokens. Greedy output is
+    token-identical to spec_tokens=0. Requires top_p=None and no H2O.
+    spec_stats=True appends the verify-step count to the return tuple
+    (tokens_emitted / steps = mean accepted block size).
     """
-    toks, count, over = _generate_paged_any(
+    res = _generate_paged_any(
         params, cfg, prompt_embeds, seq_length, key, **kwargs
     )
+    over = res[2]
     if not isinstance(over, jax.core.Tracer) and bool(over):
         raise RuntimeError(_OVERFLOW_MSG)
-    return toks, count
+    return (res[0], res[1]) + tuple(res[3:])
 
 
 def _generate_paged_any(params, cfg, prompt_embeds, seq_length, key, **kwargs):
@@ -220,6 +230,8 @@ def _generate_paged_split(
     top_p=None, eos_ids=None, kv_int8: bool = False,
     hh_size: int = 0, recent_size: int = 0, sink_size: int = 4, merge=None,
     num_pages=None, max_pages_per_seq=None,
+    spec_tokens: int = 0, spec_ngram: int = 3,
+    lookup_tokens=None, lookup_len=None, spec_stats: bool = False,
 ):
     """Host-orchestrated batched partitioned-pool generation (see
     generate_paged): per-row prefill programs write the shared pool
@@ -259,7 +271,10 @@ def _generate_paged_split(
         math.lcm(page_size, 128) if s > CHUNKED_PREFILL_THRESHOLD else page_size
     )
     s_pad = -(-s // align) * align
-    maxp = -(-(s_pad + max_new_tokens) // page_size)
+    # Speculative decode writes its full T-token block before acceptance is
+    # known, so the pool must cover max_new + spec_tokens slots past the
+    # prompt (models/spec_decode.run_spec_decode_loop).
+    maxp = -(-(s_pad + max_new_tokens + spec_tokens) // page_size)
     from streamchat_tpu.ops.paged_attention import seq_pool_block
 
     blk = seq_pool_block(maxp)
@@ -308,18 +323,22 @@ def _generate_paged_split(
         # readback is the only reliable sync on the relay
         # (block_until_ready has returned before execution, CLAUDE.md).
         float(lg[0])
-    toks, count, over, pools = _decode_batched_jit(
+    res = _decode_batched_jit(
         params, pools, lengths, jnp.stack(logits), key,
+        lookup_tokens, lookup_len,
         cfg=cfg, max_new_tokens=max_new_tokens, temperature=temperature,
         top_p=top_p, eos_ids=tuple(eos_ids), page_size=page_size,
         maxp=maxp, kv_int8=kv_int8,
+        spec_tokens=spec_tokens, spec_ngram=spec_ngram,
+        spec_stats=spec_stats,
     )
+    toks, count, over, pools = res[:4]
     # The final pools come back only so the donated inputs have outputs to
     # alias (an input-only donation is "not usable": XLA would hold BOTH the
     # input pool and the loop carry alive — ~1.33 GB duplicated at 2x23k int8
     # caption geometry, VERDICT r3 weak #6). Dropped immediately.
     del pools
-    return toks, count, over
+    return (toks, count, over) + tuple(res[4:])
 
 
 @functools.partial(
@@ -356,13 +375,15 @@ def _prefill_row_jit(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "temperature", "top_p",
-                     "eos_ids", "page_size", "maxp", "kv_int8"),
+                     "eos_ids", "page_size", "maxp", "kv_int8",
+                     "spec_tokens", "spec_ngram", "spec_stats"),
     donate_argnames=("pools",),
 )
 def _decode_batched_jit(
-    params, pools, lengths, first_logits, key, *,
+    params, pools, lengths, first_logits, key,
+    lookup_tokens=None, lookup_len=None, *,
     cfg, max_new_tokens, temperature, top_p, eos_ids, page_size, maxp,
-    kv_int8,
+    kv_int8, spec_tokens=0, spec_ngram=3, spec_stats=False,
 ):
     """Batched partitioned-pool decode loop over a prefilled pool."""
     b = lengths.shape[0]
@@ -388,16 +409,22 @@ def _decode_batched_jit(
             length=lengths, next_free=jnp.asarray(pool_pages, jnp.int32),
         )
         step_fn = decode_step_paged
-    init_over = jnp.any(lengths + max_new_tokens > maxp * page_size)
+    init_over = jnp.any(
+        lengths + max_new_tokens + spec_tokens > maxp * page_size
+    )
     hh = jnp.zeros((cfg.num_layers, cfg.num_kv_heads, 1), jnp.float32)
-    toks, count, over, final_cache = _run_decode_loop(
+    res = _run_decode_loop(
         params, cfg, cache, hh, first_logits, lengths, key,
         max_new_tokens=max_new_tokens, temperature=temperature, top_p=top_p,
         eos_ids=eos_ids, compress=False, hh_size=0, recent_size=0,
         sink_size=4, merge=None, static_batched=True, step_fn=step_fn,
         alloc_fn=None, b=b, num_pages=pool_pages, max_pages_per_seq=maxp,
         page_size=page_size, init_over=init_over, return_cache=True,
+        spec_tokens=spec_tokens, spec_ngram=spec_ngram,
+        lookup_tokens=lookup_tokens, lookup_len=lookup_len,
+        spec_stats=spec_stats,
     )
+    toks, count, over, final_cache = res[:4]
     # Returning the final pool buffers gives the donated `pools` inputs
     # outputs to alias into — without them the donation is unusable and the
     # while-loop carry duplicates the pool (VERDICT r3 weak #6).
@@ -406,7 +433,7 @@ def _decode_batched_jit(
                      final_cache.k_scale, final_cache.v_scale)
     else:
         out_pools = (final_cache.k_pages, final_cache.v_pages)
-    return toks, count, over, out_pools
+    return (toks, count, over, out_pools) + tuple(res[4:])
 
 
 @functools.partial(
@@ -415,6 +442,7 @@ def _decode_batched_jit(
         "cfg", "max_new_tokens", "temperature", "top_p", "eos_ids",
         "page_size", "num_pages", "max_pages_per_seq",
         "hh_size", "recent_size", "sink_size", "merge", "kv_int8",
+        "spec_tokens", "spec_ngram", "spec_stats",
     ),
 )
 def _generate_paged_jit(
@@ -423,6 +451,8 @@ def _generate_paged_jit(
     prompt_embeds: jnp.ndarray,
     seq_length: jnp.ndarray,
     key: jax.Array,
+    lookup_tokens: Optional[jnp.ndarray] = None,
+    lookup_len: Optional[jnp.ndarray] = None,
     *,
     max_new_tokens: int,
     page_size: int = 128,
@@ -436,6 +466,9 @@ def _generate_paged_jit(
     sink_size: int = 4,
     merge: Optional[str] = None,
     kv_int8: bool = False,
+    spec_tokens: int = 0,
+    spec_ngram: int = 3,
+    spec_stats: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Jitted body -> (tokens, count, overflowed); see generate_paged."""
     if eos_ids is None:
@@ -462,7 +495,11 @@ def _generate_paged_jit(
     if s_pad > s:
         prompt_embeds = jnp.pad(prompt_embeds, ((0, 0), (0, s_pad - s), (0, 0)))
     if max_pages_per_seq is None:
-        max_pages_per_seq = -(-(s_pad + max_new_tokens) // page_size)
+        # + spec_tokens: a speculative verify step writes its full block
+        # before acceptance is known (models/spec_decode).
+        max_pages_per_seq = -(
+            -(s_pad + max_new_tokens + spec_tokens) // page_size
+        )
         if b > 1 and not compress:
             # Partitioned batched pools: each row's slice must hold whole
             # kernel blocks (paged_decode_attention_pallas_seq).
@@ -561,7 +598,7 @@ def _generate_paged_jit(
         alloc_fn = None
         cap = max_pages_per_seq * page_size
         init_over = jnp.any(
-            seq_length.astype(jnp.int32) + max_new_tokens > cap
+            seq_length.astype(jnp.int32) + max_new_tokens + spec_tokens > cap
         )
         hh = jnp.zeros((cfg.num_layers, cfg.num_kv_heads, 1), jnp.float32)
         static_batched = True
@@ -642,6 +679,9 @@ def _generate_paged_jit(
         static_batched=static_batched, step_fn=step_fn, alloc_fn=alloc_fn,
         b=b, num_pages=num_pages, max_pages_per_seq=max_pages_per_seq,
         page_size=page_size, init_over=init_over,
+        spec_tokens=spec_tokens, spec_ngram=spec_ngram,
+        lookup_tokens=lookup_tokens, lookup_len=lookup_len,
+        spec_stats=spec_stats,
     )
 
 
@@ -651,10 +691,54 @@ def _run_decode_loop(
     recent_size, sink_size, merge, static_batched, step_fn, alloc_fn,
     b, num_pages, max_pages_per_seq, page_size, init_over,
     return_cache=False,
+    spec_tokens=0, spec_ngram=3, lookup_tokens=None, lookup_len=None,
+    spec_stats=False,
 ):
     """The fused sample→(compress)→(alloc)→attend while_loop shared by the
     one-program path (_generate_paged_jit) and the split batched path
-    (_decode_batched_jit). Must run inside a jit context."""
+    (_decode_batched_jit). Must run inside a jit context.
+
+    spec_tokens > 0 switches to the speculative verify loop
+    (models/spec_decode): prompt-lookup drafting over `lookup_tokens` +
+    everything generated, exact greedy / rejection-sampled acceptance.
+    Requires a row-ordered pool (b == 1 or the static partition), no H2O
+    compression, and top_p=None."""
+    if spec_tokens > 0:
+        if compress:
+            raise ValueError("speculative decode excludes in-loop H2O")
+        if top_p is not None:
+            raise ValueError("speculative decode supports top_p=None only")
+        if not (static_batched or b == 1):
+            raise ValueError(
+                "speculative decode needs a row-ordered pool "
+                "(batch 1 or the statically partitioned batched pool)"
+            )
+        from streamchat_tpu.models.spec_decode import run_spec_decode_loop
+
+        if alloc_fn is not None:
+            # Map every page the loop can touch up front — the verify step
+            # has no allocator (pages must exist before its block write).
+            cache, ov = alloc_fn(
+                cache,
+                jnp.full((b,), max_new_tokens + spec_tokens, jnp.int32),
+            )
+            init_over = jnp.logical_or(init_over, ov)
+        if lookup_tokens is not None and lookup_len is None:
+            lookup_len = jnp.full(
+                (b,), lookup_tokens.shape[1], jnp.int32
+            )
+        res = run_spec_decode_loop(
+            params, cfg, cache, first_logits, seq_length, key,
+            max_new_tokens=max_new_tokens, temperature=temperature,
+            eos_ids=eos_ids, spec_tokens=spec_tokens, spec_ngram=spec_ngram,
+            lookup_tokens=lookup_tokens, lookup_len=lookup_len,
+            init_over=init_over, return_cache=True, return_stats=spec_stats,
+        )
+        toks, count, over, final_cache = res[:4]
+        tail = (final_cache,) if return_cache else ()
+        if spec_stats:
+            tail = tail + (res[4],)
+        return (toks, count, over) + tail
 
     def is_eos(tok):
         hit = jnp.zeros(tok.shape, bool)
