@@ -101,16 +101,23 @@ def main():
         return median(times), steps
 
     t_van, _ = run("vanilla", 0)
+    t_cold, steps_cold = run("spec_no_lookup", args.spec)
     toks = None
     if not args.skip_oracle:
-        # capture the greedy continuation once for the oracle corpus
+        # Oracle corpus = the SPEC run's own greedy output. (The vanilla
+        # run's output is NOT a valid oracle here: with random weights the
+        # logits are near-tie noise, so the [T, D]-row verify matmuls'
+        # bf16 rounding flips argmaxes vs the 1-row vanilla step and the
+        # trajectories diverge — measured round 4. With self-consistent
+        # numerics the corpus matches the trajectory, which is the real
+        # serving situation: answers quote captions that are in the
+        # prompt's text corpus.)
         res = generate_paged(
             params, cfg, embeds, seq_len, jax.random.key(2),
             max_new_tokens=args.max_new, temperature=0.0, eos_ids=(-1,),
+            spec_tokens=args.spec, spec_ngram=args.ngram,
         )
         toks = jnp.asarray(jax.device_get(res[0]))
-    t_cold, steps_cold = run("spec_no_lookup", args.spec)
-    if toks is not None:
         t_orc, steps_orc = run("spec_oracle", args.spec, lookup=toks)
 
     # attribution: per-verify-step cost vs the vanilla per-token step

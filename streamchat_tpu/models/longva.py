@@ -67,6 +67,14 @@ class LongVA:
     # session (observed: per-segment answer shapes evicting the caption
     # program's headroom at 7B geometry).
     prompt_bucket: int = 128
+    # Speculative decoding (models/spec_decode): draft tokens per verify
+    # step, 0 = off. Greedy output stays token-identical; the prompt's TEXT
+    # tokens serve as the lookup corpus (answers quote retrieved captions,
+    # so n-gram drafting hits). Applied on the paged backend when H2O and
+    # top_p are off; decode at 7B is weight-bandwidth bound, so accepted
+    # drafts are nearly free tokens.
+    spec_tokens: int = 0
+    spec_ngram: int = 3
     # Bounded cache of text-run embeddings keyed by token-id tuple: the
     # caption/summary prompts are CONSTANT text, and each eager embed_tokens
     # dispatch costs 50-90 ms through the remote-TPU relay.
@@ -347,6 +355,7 @@ class LongVA:
                 key if key is not None else self.keys(),
                 **common,
                 **self._paged_budget(embeds.shape[1], max_new_tokens),
+                **self._spec_kwargs([prompt], top_p),
             )
             t2 = t3 = _time.time()
         else:
@@ -373,6 +382,41 @@ class LongVA:
                             "generate_s": round(t2 - t1, 2),
                             "fetch_s": round(t3 - t2, 2)}
         return self.tokenizer.decode(toks_np[0][: int(count_np[0])].tolist()).strip()
+
+    def _spec_kwargs(self, prompts, top_p) -> dict:
+        """Speculative-decode kwargs for generate_paged, or {} when off.
+
+        The lookup corpus is the prompts' text tokens (image sentinels
+        dropped), padded to a 256 bucket so the corpus length does not mint
+        new compiled shapes (axon executables permanently reserve their
+        workspace — CLAUDE.md)."""
+        if (
+            self.spec_tokens <= 0
+            or self.decode_backend != "paged"
+            or self.kv_budget_tokens is not None   # spec excludes in-loop H2O
+            or top_p is not None
+        ):
+            return {}
+        import numpy as np
+
+        rows = [
+            [t for t in tokenize_with_image_token(p, self.tokenizer) if t >= 0]
+            for p in prompts
+        ]
+        n = max(1, max(len(r) for r in rows))
+        pad = genlib.pad_to_bucket(min(n, 4096), 256, minimum=256)
+        arr = np.full((len(rows), pad), -1, np.int32)
+        lens = np.zeros((len(rows),), np.int32)
+        for i, r in enumerate(rows):
+            m = min(len(r), pad)
+            arr[i, :m] = r[:m]
+            lens[i] = m
+        return {
+            "spec_tokens": self.spec_tokens,
+            "spec_ngram": self.spec_ngram,
+            "lookup_tokens": jnp.asarray(arr),
+            "lookup_len": jnp.asarray(lens),
+        }
 
     def _paged_budget(self, prompt_len: int, max_new_tokens: int) -> dict:
         """Paged-decode pool sizing. With kv_budget_tokens set, the pool is
@@ -478,6 +522,7 @@ class LongVA:
             toks_np, count_np = generate_paged_fetch(
                 self.dec_params, self.dec_cfg, rows, lengths, k,
                 **common, **self._paged_budget(max_pad, max_new_tokens),
+                **self._spec_kwargs(prompts, top_p),
             )
         else:
             toks, count = genlib.generate(

@@ -534,6 +534,13 @@ def parse_args(argv=None):
     p.add_argument("--literal_kmeans", action="store_true",
                    help="reproduce the reference's dead per-chunk k-means "
                         "guard (raw chunk features in tree nodes)")
+    p.add_argument("--spec_tokens", type=int, default=0,
+                   help="speculative decoding: draft tokens per verify step "
+                        "(prompt-lookup drafting over the text prompt; exact "
+                        "greedy / rejection-sampled verification — "
+                        "models/spec_decode). 0 = off. Requires the paged "
+                        "backend without a KV budget and top_p unset.")
+    p.add_argument("--spec_ngram", type=int, default=3)
     return p.parse_args(argv)
 
 
@@ -583,6 +590,9 @@ def main(argv=None) -> None:
         pipeline.model.quantize()
     if args.shard:
         pipeline.model.shard()
+    if args.spec_tokens:
+        pipeline.model.spec_tokens = args.spec_tokens
+        pipeline.model.spec_ngram = args.spec_ngram
     if args.literal_kmeans:
         pipeline.cluster_full_chunks = False
     run_inference(pipeline, args)

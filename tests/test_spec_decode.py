@@ -164,6 +164,34 @@ class TestSamplingAndGuards:
             )
 
 
+class TestLongVAPlumbing:
+    def test_spec_matches_vanilla_through_longva(self):
+        """--spec_tokens end-to-end: spliced multimodal prompt, paged
+        backend, text-prompt lookup corpus — greedy output unchanged."""
+        import dataclasses
+
+        from streamchat_tpu.config import ViTConfig
+        from streamchat_tpu.models import LongVA
+
+        tiny_vit = ViTConfig(
+            image_size=28, patch_size=14, hidden_size=32,
+            intermediate_size=64, num_layers=2, num_heads=4,
+            projection_dim=128,
+        )
+        model = LongVA.init_random(
+            jax.random.key(0), tiny_vit, DecoderConfig.tiny(),
+            dtype=jnp.float32,
+        )
+        pixels = jax.random.normal(jax.random.key(1), (1, 3, 28, 28))
+        feats = model.encode_images(pixels)
+        prompt = "describe the scene <image> in the video please"
+        kw = dict(max_new_tokens=12, temperature=0.0, key=jax.random.key(5))
+        base = model.generate_with_image_embedding(prompt, [feats], **kw)
+        spec = dataclasses.replace(model, spec_tokens=3)
+        out = spec.generate_with_image_embedding(prompt, [feats], **kw)
+        assert out == base
+
+
 class TestAcceptanceStats:
     def test_oracle_corpus_cuts_steps(self, tiny):
         """With the true continuation in the lookup corpus, 16 tokens must
