@@ -173,6 +173,11 @@ def main(argv=None) -> None:
     p.add_argument("--int8", action="store_true",
                    help="int8 weight-only judge (halves decode latency; an "
                         "8B judge then fits one 16 GB chip)")
+    p.add_argument("--spec_tokens", type=int, default=0,
+                   help="speculative decoding draft length (the judge is "
+                        "greedy and its verdicts are formulaic — a rolling "
+                        "corpus of recent outputs drafts most of each one; "
+                        "models/spec_decode). 0 = off.")
     args = p.parse_args(argv)
 
     import os
@@ -189,6 +194,8 @@ def main(argv=None) -> None:
         lm = TextLM.init_random(jax.random.key(0), DecoderConfig.tiny())
     if args.int8:
         lm.quantize()
+    if args.spec_tokens:
+        lm.spec_tokens = args.spec_tokens
 
     with open(args.predict_file, encoding="utf-8") as f:
         predictions = json.load(f)

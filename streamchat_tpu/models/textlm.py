@@ -25,6 +25,16 @@ class TextLM:
     cfg: DecoderConfig
     tokenizer: object
     keys: KeySeq
+    # Speculative decoding (models/spec_decode), 0 = off. The judge is
+    # GREEDY (the reference's judge runs do_sample commented out at
+    # temperature 0.0, eval_video_qa_with_llama3_ours.py:145-150) and its
+    # verdicts are formulaic ("{'llama_pred': 'yes', 'score': 4}"), so a
+    # rolling corpus of recent outputs drafts most of each verdict; decode
+    # at 8B is weight-bandwidth bound, so accepted drafts are nearly free.
+    spec_tokens: int = 0
+    spec_ngram: int = 3
+    # Rolling lookup corpus: token ids of recent generations (bounded).
+    _spec_corpus: list = dataclasses.field(default_factory=list, repr=False)
 
     @classmethod
     def init_random(cls, key: jax.Array, cfg: DecoderConfig | None = None,
@@ -113,17 +123,55 @@ class TextLM:
             embeds = jax.lax.dynamic_update_slice(
                 embeds, e[None].astype(dtype), (row, 0, 0)
             )
-        toks, count = genlib.generate(
-            self.params, self.cfg, embeds,
-            jnp.asarray(lengths, jnp.int32), self.keys(),
-            max_new_tokens=max_new_tokens,
-            temperature=temperature, top_p=top_p,
-            eos_ids=tuple(self.tokenizer.eos_ids),
-        )
+        if self.spec_tokens > 0 and top_p is None:
+            from streamchat_tpu.models.generate_paged import generate_paged
+
+            toks, count = generate_paged(
+                self.params, self.cfg, embeds,
+                jnp.asarray(lengths, jnp.int32), self.keys(),
+                max_new_tokens=max_new_tokens,
+                temperature=temperature, top_p=top_p,
+                eos_ids=tuple(self.tokenizer.eos_ids),
+                spec_tokens=self.spec_tokens, spec_ngram=self.spec_ngram,
+                **self._spec_lookup(ids, b),
+            )
+        else:
+            toks, count = genlib.generate(
+                self.params, self.cfg, embeds,
+                jnp.asarray(lengths, jnp.int32), self.keys(),
+                max_new_tokens=max_new_tokens,
+                temperature=temperature, top_p=top_p,
+                eos_ids=tuple(self.tokenizer.eos_ids),
+            )
         # Bulk device->host transfer; per-token int() readbacks pay a relay
         # round trip each (see longva.generate_with_image_embedding).
         toks_np, count_np = jax.device_get((toks, count))
-        return [
-            self.tokenizer.decode(toks_np[row][: int(count_np[row])].tolist()).strip()
-            for row in range(b)
+        outs = [
+            toks_np[row][: int(count_np[row])].tolist() for row in range(b)
         ]
+        if self.spec_tokens > 0:
+            # Feed the rolling corpus: future verdicts share these n-grams.
+            self._spec_corpus.extend(o for o in outs if o)
+            del self._spec_corpus[:-8]
+        return [self.tokenizer.decode(o).strip() for o in outs]
+
+    def _spec_lookup(self, ids, b) -> dict:
+        """Lookup corpus rows: each prompt's own tokens + the rolling
+        recent-output corpus, padded to a 256 bucket (bounded compiled
+        shapes — see LongVA._spec_kwargs)."""
+        import numpy as np
+
+        recent = [t for o in self._spec_corpus for t in o][-1024:]
+        rows = [list(r) + recent for r in ids]
+        n = max(1, max(len(r) for r in rows))
+        pad = genlib.pad_to_bucket(min(n, 4096), 256, minimum=256)
+        arr = np.full((b, pad), -1, np.int32)
+        lens = np.zeros((b,), np.int32)
+        for i, r in enumerate(rows):
+            m = min(len(r), pad)
+            arr[i, :m] = r[:m]
+            lens[i] = m
+        return {
+            "lookup_tokens": jnp.asarray(arr),
+            "lookup_len": jnp.asarray(lens),
+        }

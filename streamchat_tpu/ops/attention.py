@@ -114,7 +114,10 @@ def _flash_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )                                                       # [bq, bk]
-        s *= sm_scale
+        # sm_scale is FOLDED into the reduce (tiny) and the exp expression
+        # (mul+sub+exp fuse into one elementwise pass) instead of a
+        # standalone `s *= scale` pass over the [bq, bk] f32 tile — the VPU
+        # passes between the two MXU dots are this kernel's roofline gap.
 
         if masked:
             row = (jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
@@ -128,10 +131,10 @@ def _flash_kernel(
 
         m_prev = m_scratch[...]                                 # [bq, 128]
         l_prev = l_scratch[...]
-        m_curr = jnp.max(s, axis=1, keepdims=True)              # [bq, 1]
+        m_curr = jnp.max(s, axis=1, keepdims=True) * sm_scale   # [bq, 1]
         m_next = jnp.maximum(m_prev, m_curr)                    # broadcast -> [bq, 128]
         alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])                          # [bq, bk]
+        p = jnp.exp(s * sm_scale - m_next[:, :1])               # [bq, bk]
         l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scratch[...] = m_next
         l_scratch[...] = l_next
@@ -393,7 +396,11 @@ def _flash_partial_kernel(
         k = k_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * sm_scale
+        )
+        # sm_scale folded into the reduce + the exp expression (one fused
+        # elementwise pass) instead of a standalone pass over the f32 tile —
+        # see _flash_kernel. m/l therefore live in the SCALED domain, same
+        # as before.
 
         if masked:
             row = (jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
@@ -407,17 +414,20 @@ def _flash_partial_kernel(
 
         m_prev = m_scratch[...]
         l_prev = l_scratch[...]
-        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_curr = jnp.max(s, axis=1, keepdims=True) * sm_scale
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])
+        p = jnp.exp(s * sm_scale - m_next[:, :1])
         if masked:
             # Rows with every key masked in EVERY tile so far would
-            # accumulate exp(DMV - DMV) = 1 poison that never washes out
-            # when the row stays fully masked for the whole shard pair
-            # (common in ring: a diagonal shard's top rows). Zero them
-            # explicitly. (An interior tile's rows all have real maxima.)
-            p = jnp.where((m_next[:, :1] > DEFAULT_MASK_VALUE / 2), p, 0.0)
+            # accumulate exp(DMV*scale - DMV*scale) = 1 poison that never
+            # washes out when the row stays fully masked for the whole
+            # shard pair (common in ring: a diagonal shard's top rows).
+            # Zero them explicitly; the threshold lives in the scaled
+            # domain with m. (An interior tile's rows have real maxima.)
+            p = jnp.where(
+                (m_next[:, :1] > DEFAULT_MASK_VALUE * sm_scale / 2), p, 0.0
+            )
         l_scratch[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scratch[...] = m_next
 

@@ -192,6 +192,26 @@ class TestLongVAPlumbing:
         assert out == base
 
 
+class TestTextLMPlumbing:
+    def test_judge_spec_matches_vanilla(self):
+        """--spec_tokens on the judge LM: greedy verdicts unchanged, and the
+        rolling output corpus accumulates across calls."""
+        from streamchat_tpu.models.textlm import TextLM
+
+        lm = TextLM.init_random(
+            jax.random.key(0), DecoderConfig.tiny(), dtype=jnp.float32
+        )
+        prompts = ["judge this answer: yes or no?", "judge that: score it"]
+        base = lm.generate_batch(list(prompts), max_new_tokens=10)
+        lm.spec_tokens = 3
+        lm.keys = type(lm.keys)(0)      # reset the key stream
+        out1 = lm.generate_batch(list(prompts), max_new_tokens=10)
+        assert out1 == base
+        assert len(lm._spec_corpus) > 0
+        out2 = lm.generate_batch(list(prompts), max_new_tokens=10)
+        assert out2 == base             # corpus must not change greedy output
+
+
 class TestAcceptanceStats:
     def test_oracle_corpus_cuts_steps(self, tiny):
         """With the true continuation in the lookup corpus, 16 tokens must
