@@ -64,43 +64,55 @@ def ngram_propose(
     *,
     ngram: int,
     num_draft: int,
+    min_ngram: int = 2,
 ) -> jnp.ndarray:
     """Propose `num_draft` tokens per row from the most recent n-gram match.
 
-    The suffix is the last `ngram` valid tokens. A match at position i means
-    hist[i:i+ngram] == suffix with at least one continuation token strictly
-    inside the valid region (the trivial self-match is excluded by the same
-    bound). The LAST match wins (most recent context). Rows with no match —
-    or proposal slots past the valid region — fall back to repeating the
-    final token (a cheap guess that is free when wrong: verification pays
-    one masked lane, not a step).
+    Multi-scale: n runs from `ngram` (longest, most reliable) down to
+    `min_ngram`; the first scale with a match wins, and within a scale the
+    LAST match wins (most recent context). A match at position i means
+    hist[i:i+n] == the last n valid tokens, with at least one continuation
+    token strictly inside the valid region (the trivial self-match is
+    excluded by the same bound). Rows with no match at any scale — or
+    proposal slots past the valid region — fall back to repeating the final
+    token (a cheap guess that is free when wrong: verification pays one
+    masked lane, not a step).
     """
     b, h = hist.shape
     last_tok = jnp.take_along_axis(
         hist, jnp.maximum(hist_len - 1, 0)[:, None], axis=1
     )  # [B, 1]
 
-    # suffix[:, j] = hist[hist_len - ngram + j]
-    suf_idx = hist_len[:, None] - ngram + jnp.arange(ngram)[None]
-    suffix = jnp.take_along_axis(hist, jnp.maximum(suf_idx, 0), axis=1)
-
-    padded = jnp.pad(hist, ((0, 0), (0, ngram + num_draft)), constant_values=-1)
+    max_n = max(ngram, 1)
+    min_n = max(min(min_ngram, max_n), 1)
+    padded = jnp.pad(hist, ((0, 0), (0, max_n + num_draft)), constant_values=-1)
     pos = jnp.arange(h, dtype=jnp.int32)[None]                  # [1, H]
-    match = pos + ngram < hist_len[:, None]                     # room to copy
-    for j in range(ngram):
-        match = jnp.logical_and(match, padded[:, j:j + h] == suffix[:, j:j + 1])
-    match = jnp.logical_and(match, (hist_len >= ngram + 1)[:, None])
 
-    last_i = jnp.max(jnp.where(match, pos, -1), axis=1)         # [B]
-    found = last_i >= 0
-    start = jnp.where(found, last_i + ngram, 0)
+    found = jnp.zeros((b,), bool)
+    start = jnp.zeros((b,), jnp.int32)
+    for n in range(max_n, min_n - 1, -1):
+        # suffix[:, j] = hist[hist_len - n + j]
+        suf_idx = hist_len[:, None] - n + jnp.arange(n)[None]
+        suffix = jnp.take_along_axis(hist, jnp.maximum(suf_idx, 0), axis=1)
+        match = pos + n < hist_len[:, None]                     # room to copy
+        for j in range(n):
+            match = jnp.logical_and(
+                match, padded[:, j:j + h] == suffix[:, j:j + 1]
+            )
+        match = jnp.logical_and(match, (hist_len >= n + 1)[:, None])
+        last_i = jnp.max(jnp.where(match, pos, -1), axis=1)     # [B]
+        hit = last_i >= 0
+        take = jnp.logical_and(hit, ~found)                     # longest wins
+        start = jnp.where(take, last_i + n, start)
+        found = jnp.logical_or(found, hit)
 
     draft = jax.vmap(
         lambda row, s: jax.lax.dynamic_slice(row, (s,), (num_draft,))
     )(padded, start)                                            # [B, num_draft]
     # Slots outside the valid region (or no match at all) repeat last_tok.
     valid = jnp.logical_and(
-        found[:, None], start[:, None] + jnp.arange(num_draft)[None] < hist_len[:, None]
+        found[:, None],
+        start[:, None] + jnp.arange(num_draft)[None] < hist_len[:, None],
     )
     return jnp.where(valid, draft, last_tok).astype(jnp.int32)
 

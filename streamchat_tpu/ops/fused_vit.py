@@ -160,11 +160,19 @@ def _attn_body(x32, s_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
         s_qk = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale                                                 # [S, S] f32
-        a = jax.nn.softmax(s_qk, axis=-1).astype(dtype)
-        heads_out.append(
-            jnp.dot(a, v, preferred_element_type=jnp.float32).astype(dtype)
-        )
+        )                                                         # [S, S] f32
+        # Manual softmax, engineered for VPU passes over the [S, S] tile —
+        # the in-kernel VPU work between the MXU dots is this kernel's
+        # measured roofline gap (round-4 ingest probe): the scale folds
+        # into the reduce + the exp chain (mul+sub+exp+cast fuse into one
+        # elementwise pass), and normalization moves AFTER the p·v dot onto
+        # the [S, dh] output (9x fewer elements than dividing p). ~3 passes
+        # where scale + jax.nn.softmax + cast was ~6.
+        m = jnp.max(s_qk, axis=-1, keepdims=True) * scale         # [S, 1]
+        p = jnp.exp(s_qk * scale - m)                             # [S, S] f32
+        l_inv = 1.0 / jnp.sum(p, axis=-1, keepdims=True)          # [S, 1]
+        o = jnp.dot(p.astype(dtype), v, preferred_element_type=jnp.float32)
+        heads_out.append((o * l_inv).astype(dtype))
     attn = jnp.concatenate(heads_out, axis=-1)                    # [S, D]
     out = jnp.dot(attn, wo_ref[:], preferred_element_type=jnp.float32)
     return out + bo_ref[:].astype(jnp.float32) + x32
