@@ -47,6 +47,10 @@ def main():
                         "~31%% MXU-roofline gap actually goes)")
     p.add_argument("--skip_batch_and_decode", action="store_true",
                    help="prefill-only run (fast A/B of prefill changes)")
+    p.add_argument("--spec", type=int, default=0,
+                   help="speculative draft tokens for the decode phase "
+                        "(greedy; models/spec_decode — measures the verify "
+                        "step's pool-einsum cost at THIS context length)")
     args = p.parse_args()
     if args.skip_batch_and_decode:
         args.batch = 1
@@ -74,12 +78,16 @@ def main():
         embeds = (jax.random.normal(jax.random.key(1), (b, s, d), jnp.bfloat16)
                   * 0.02)
         lengths = jnp.full((b,), s, jnp.int32)
+        spec_kw = (
+            {"spec_tokens": args.spec} if args.spec and max_new > 1 else {}
+        )
         times = []
         for i in range(repeats + 1):   # first call compiles
             t, _ = timed(
                 generate_paged, params, cfg, embeds, lengths,
                 jax.random.key(2 + i), max_new_tokens=max_new,
                 page_size=128, kv_int8=args.kv_int8, temperature=0.0,
+                **spec_kw,
             )
             times.append(t)
         warm = times[1:]

@@ -101,6 +101,13 @@ def main():
         return median(times), steps
 
     t_van, _ = run("vanilla", 0)
+    # Prefill(+1tok) baseline: the per-step costs below subtract this —
+    # dividing raw wall time by steps overstates the verify cost when
+    # acceptance is high (few steps amortize the fixed prefill less).
+    saved_max_new = args.max_new
+    args.max_new = 1
+    t_pre, _ = run("vanilla_prefill", 0)
+    args.max_new = saved_max_new
     t_cold, steps_cold = run("spec_no_lookup", args.spec)
     toks = None
     if not args.skip_oracle:
@@ -120,18 +127,25 @@ def main():
         toks = jnp.asarray(jax.device_get(res[0]))
         t_orc, steps_orc = run("spec_oracle", args.spec, lookup=toks)
 
-    # attribution: per-verify-step cost vs the vanilla per-token step
-    van_step_ms = None
+    # attribution: per-verify-step cost vs the vanilla per-token step,
+    # both with the measured prefill subtracted
+    van_step = (t_van - t_pre) / (args.max_new - 1)
     summary = {
         "tag": "summary",
         "vanilla_p50_s": round(t_van, 4),
+        "vanilla_prefill_s": round(t_pre, 4),
+        "vanilla_step_ms": round(van_step * 1e3, 2),
         "spec_no_lookup_p50_s": round(t_cold, 4),
     }
     if steps_cold:
-        # no-lookup acceptance ~0 -> steps ~= max_new: the time ratio IS the
-        # per-step overhead of the T-token verify vs the 1-token step.
+        summary["verify_step_ms"] = round(
+            (t_cold - t_pre) / steps_cold * 1e3, 2
+        )
         summary["verify_block_overhead_x"] = round(
-            (t_cold / steps_cold) / (t_van / args.max_new), 3
+            ((t_cold - t_pre) / steps_cold) / van_step, 3
+        )
+        summary["no_lookup_tokens_per_step"] = round(
+            args.max_new / steps_cold, 2
         )
     if toks is not None and steps_orc:
         summary["oracle_p50_s"] = round(t_orc, 4)

@@ -133,56 +133,93 @@ def _spec_attention(
     fresh_v: jnp.ndarray,
     sm_scale: float,
 ) -> jnp.ndarray:
-    """Two-part attention: paged pool (read in page layout, no gather) +
-    the staged T-token block, merged under one softmax.
+    """Two-part attention: paged pool + the staged T-token block, merged
+    with the online-softmax rescale.
 
     Requires a row-ordered pool (row r owns the contiguous page slice
     [r*maxp, (r+1)*maxp)) — true for every mode generate_paged admits into
     the spec loop (single-row sequential pools and statically partitioned
     batched pools).
+
+    On TPU the pool part runs the sequential-pool Pallas kernel in
+    multi-query partial mode (ops/paged_attention.paged_seq_attention_
+    partial*): fused in-register dequant, pool bytes read once. The XLA
+    einsum path (CPU/tests oracle) materializes a dequantized f32 pool
+    copy per call — measured ~5 GB/step of extra HBM traffic at 7B/23k
+    int8, which erased the speculative speedup at long context (round 4).
     """
     b, hq, t, d = q.shape
     p_total, hkv, ps, _ = pool_k.shape
     maxp = p_total // b
     g = hq // hkv
+    qg32 = q.reshape(b, hkv, g, t, d).astype(jnp.float32)
 
-    kp = pool_k.reshape(b, maxp, hkv, ps, d)
-    vp = pool_v.reshape(b, maxp, hkv, ps, d)
-    qg = q.reshape(b, hkv, g, t, d).astype(jnp.float32)
+    # --- pool part -> UNNORMALIZED (acc, m, l) per (head, block token) ---
+    if jax.default_backend() == "tpu":
+        from streamchat_tpu.ops.paged_attention import (
+            paged_seq_attention_partial,
+            paged_seq_attention_partial_int8,
+            seq_pool_block,
+        )
 
-    # [B,Hkv,g,T,maxp,ps]: batch dims (b, hkv); pool stays in page layout.
-    s_pool = jnp.einsum(
-        "bhgtd,bphsd->bhgtps", qg, kp.astype(jnp.float32)
-    )
-    if scale_k is not None:
-        ks = scale_k.reshape(b, maxp, hkv, ps)
-        s_pool = s_pool * ks.transpose(0, 2, 1, 3)[:, :, None, None]
-    s_pool = (s_pool * sm_scale).reshape(b, hkv, g, t, maxp * ps)
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, maxp * ps), 4)
-    s_pool = jnp.where(
-        col < length[:, None, None, None, None], s_pool, DEFAULT_MASK_VALUE
-    )
+        pb = seq_pool_block(maxp)
+        if scale_k is not None:
+            acc_p, m_p, l_p = paged_seq_attention_partial_int8(
+                q, pool_k, pool_v, scale_k, scale_v, length,
+                sm_scale=sm_scale, pages_per_block=pb,
+            )
+        else:
+            acc_p, m_p, l_p = paged_seq_attention_partial(
+                q, pool_k, pool_v, length,
+                sm_scale=sm_scale, pages_per_block=pb,
+            )
+        acc_p = acc_p.reshape(b, hkv, g, t, d)
+        m_p = m_p.reshape(b, hkv, g, t)
+        l_p = l_p.reshape(b, hkv, g, t)
+    else:
+        kp = pool_k.reshape(b, maxp, hkv, ps, d)
+        # [B,Hkv,g,T,maxp,ps]: batch dims (b, hkv); page layout, no gather.
+        s_pool = jnp.einsum("bhgtd,bphsd->bhgtps", qg32, kp.astype(jnp.float32))
+        if scale_k is not None:
+            ks = scale_k.reshape(b, maxp, hkv, ps)
+            s_pool = s_pool * ks.transpose(0, 2, 1, 3)[:, :, None, None]
+        s_pool = (s_pool * sm_scale).reshape(b, hkv, g, t, maxp * ps)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, maxp * ps), 4)
+        s_pool = jnp.where(
+            col < length[:, None, None, None, None], s_pool, DEFAULT_MASK_VALUE
+        )
+        m_p = jnp.max(s_pool, axis=-1)                       # [B,Hkv,g,T]
+        m_p = jnp.maximum(m_p, -1e30)
+        p_pool = jnp.exp(s_pool - m_p[..., None])
+        l_p = jnp.sum(p_pool, axis=-1)
+        if scale_v is not None:
+            vs = scale_v.reshape(b, maxp, hkv, ps).transpose(0, 2, 1, 3)
+            p_pool = (
+                p_pool.reshape(b, hkv, g, t, maxp, ps) * vs[:, :, None, None]
+            ).reshape(b, hkv, g, t, maxp * ps)
+        acc_p = jnp.einsum(
+            "bhgtps,bphsd->bhgtd",
+            p_pool.reshape(b, hkv, g, t, maxp, ps),
+            pool_v.reshape(b, maxp, hkv, ps, d).astype(jnp.float32),
+        )
 
+    # --- staged block part (tiny [T, T]) ---
     s_fresh = jnp.einsum(
-        "bhgtd,bhud->bhgtu", qg, fresh_k.astype(jnp.float32)
+        "bhgtd,bhud->bhgtu", qg32, fresh_k.astype(jnp.float32)
     ) * sm_scale                                             # [B,Hkv,g,T,T]
     tri = (jnp.arange(t)[None, :] <= jnp.arange(t)[:, None])  # u <= t
     s_fresh = jnp.where(tri[None, None, None], s_fresh, DEFAULT_MASK_VALUE)
+    m_f = jnp.max(s_fresh, axis=-1)                          # [B,Hkv,g,T]
+    p_f = jnp.exp(s_fresh - m_f[..., None])
+    l_f = jnp.sum(p_f, axis=-1)
+    acc_f = jnp.einsum("bhgtu,bhud->bhgtd", p_f, fresh_v.astype(jnp.float32))
 
-    s = jnp.concatenate([s_pool, s_fresh], axis=-1)
-    p = jax.nn.softmax(s, axis=-1)
-    p_pool, p_fresh = p[..., : maxp * ps], p[..., maxp * ps:]
-
-    if scale_v is not None:
-        vs = scale_v.reshape(b, maxp, hkv, ps).transpose(0, 2, 1, 3)
-        p_pool = p_pool.reshape(b, hkv, g, t, maxp, ps) * vs[:, :, None, None]
-        p_pool = p_pool.reshape(b, hkv, g, t, maxp * ps)
-    o = jnp.einsum(
-        "bhgtps,bphsd->bhgtd",
-        p_pool.reshape(b, hkv, g, t, maxp, ps),
-        vp.astype(jnp.float32),
-    )
-    o = o + jnp.einsum("bhgtu,bhud->bhgtd", p_fresh, fresh_v.astype(jnp.float32))
+    # --- online-softmax merge ---
+    m_tot = jnp.maximum(m_p, m_f)
+    a_p = jnp.exp(m_p - m_tot)[..., None]
+    a_f = jnp.exp(m_f - m_tot)[..., None]
+    l_tot = l_p[..., None] * a_p + l_f[..., None] * a_f
+    o = (acc_p * a_p + acc_f * a_f) / l_tot
     return o.reshape(b, hq, t, d).astype(q.dtype)
 
 

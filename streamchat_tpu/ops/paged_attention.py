@@ -211,16 +211,13 @@ def _seq_decode_kernel(
     q_ref,                # [1, hkv, gpad, d] (row bi's query group)
     k_ref,                # [pb, hkv, ps, d] (pool pages of row bi, block j)
     v_ref,
-    o_ref,                # [1, hkv, gpad, d]
-    m_scratch,            # [hkv, gpad, 128] f32
-    l_scratch,
-    acc_scratch,          # [hkv, gpad, d] f32
-    *,
+    *refs,                # o_ref[, m_ref, l_ref], m/l/acc scratch
     sm_scale: float,
     page_size: int,
     pages_per_block: int,
     num_blocks: int,
     num_kv_heads: int,
+    emit_ml: bool = False,
 ):
     """Sequential-pool decode: pages are in pool order (identity table).
 
@@ -233,7 +230,18 @@ def _seq_decode_kernel(
     Batched rows (grid (B, nb), j innermost): each row owns the STATICALLY
     PARTITIONED pool slice [bi*row_pages, (bi+1)*row_pages) — the BlockSpec
     index maps compute block offsets from bi directly, no page table. The
-    online-softmax scratch resets at each row's j==0."""
+    online-softmax scratch resets at each row's j==0.
+
+    emit_ml=True (the speculative-decode verify path): emit UNNORMALIZED
+    f32 acc plus the running (m, l) instead of the normalized output — the
+    caller merges with the staged in-flight block's partial attention under
+    one softmax (models/spec_decode). Same contract as
+    ops/attention.flash_attention_partial; m/l ride [gpad, 128] broadcast
+    blocks (TPU tile rule), lane 0 is the value."""
+    if emit_ml:
+        o_ref, m_ref, l_ref, m_scratch, l_scratch, acc_scratch = refs
+    else:
+        o_ref, m_scratch, l_scratch, acc_scratch = refs
     bi = pl.program_id(0)
     j = pl.program_id(1)
     span = pages_per_block * page_size
@@ -274,9 +282,14 @@ def _seq_decode_kernel(
     @pl.when(j == num_blocks - 1)
     def _store():
         for h in range(num_kv_heads):
-            l = l_scratch[h][:, :1]
-            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-            o_ref[0, h] = (acc_scratch[h] * l_inv).astype(o_ref.dtype)
+            if emit_ml:
+                m_ref[0, h] = jnp.maximum(m_scratch[h], -1e30)
+                l_ref[0, h] = l_scratch[h]
+                o_ref[0, h] = acc_scratch[h].astype(o_ref.dtype)
+            else:
+                l = l_scratch[h][:, :1]
+                l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+                o_ref[0, h] = (acc_scratch[h] * l_inv).astype(o_ref.dtype)
 
 
 def _seq_decode_int8_kernel(
@@ -286,16 +299,13 @@ def _seq_decode_int8_kernel(
     v_ref,
     ks_ref,               # [hkv, span] f32 (head-major, page-dim flattened)
     vs_ref,
-    o_ref,                # [1, hkv, gpad, d]
-    m_scratch,
-    l_scratch,
-    acc_scratch,
-    *,
+    *refs,                # o_ref[, m_ref, l_ref], m/l/acc scratch
     sm_scale: float,
     page_size: int,
     pages_per_block: int,
     num_blocks: int,
     num_kv_heads: int,
+    emit_ml: bool = False,
 ):
     """Int8 twin of _seq_decode_kernel.
 
@@ -307,7 +317,12 @@ def _seq_decode_int8_kernel(
     an f32 [span, d] intermediate, which cost ~6 ms/step at 7B/11.6k ctx).
     Scales arrive flattened [hkv, num_pages*ps] so the row slice is already
     lane-shaped [1, span]. Batched rows work exactly as in _seq_decode_kernel
-    (grid (B, nb), statically partitioned pool, scratch reset at j==0)."""
+    (grid (B, nb), statically partitioned pool, scratch reset at j==0).
+    emit_ml: see _seq_decode_kernel."""
+    if emit_ml:
+        o_ref, m_ref, l_ref, m_scratch, l_scratch, acc_scratch = refs
+    else:
+        o_ref, m_scratch, l_scratch, acc_scratch = refs
     bi = pl.program_id(0)
     j = pl.program_id(1)
     span = pages_per_block * page_size
@@ -351,9 +366,14 @@ def _seq_decode_int8_kernel(
     @pl.when(j == num_blocks - 1)
     def _store():
         for h in range(num_kv_heads):
-            l = l_scratch[h][:, :1]
-            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-            o_ref[0, h] = (acc_scratch[h] * l_inv).astype(o_ref.dtype)
+            if emit_ml:
+                m_ref[0, h] = jnp.maximum(m_scratch[h], -1e30)
+                l_ref[0, h] = l_scratch[h]
+                o_ref[0, h] = acc_scratch[h].astype(o_ref.dtype)
+            else:
+                l = l_scratch[h][:, :1]
+                l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+                o_ref[0, h] = (acc_scratch[h] * l_inv).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -528,6 +548,167 @@ def paged_decode_attention_pallas_seq_int8(
         interpret=interpret,
     )(length.astype(jnp.int32), qg, k_pages, v_pages, k_scale_hm, v_scale_hm)
     return out[:, :, :g].reshape(b, hq, 1, d)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sm_scale", "pages_per_block", "interpret")
+)
+def paged_seq_attention_partial(
+    q: jnp.ndarray,            # [B, Hq, T, Dh] — T in-flight queries
+    k_pages: jnp.ndarray,      # [num_pages, Hkv, page_size, Dh] (one layer)
+    v_pages: jnp.ndarray,
+    length: jnp.ndarray,       # [B] valid pool tokens (the block EXCLUDED)
+    sm_scale: float | None = None,
+    pages_per_block: int = SEQ_POOL_BLOCK,
+    interpret: bool = False,
+):
+    """Multi-query partial attention against a sequential pool ->
+    (acc f32 [B, Hq, T, Dh] UNNORMALIZED, m [B, Hq, T], l [B, Hq, T]).
+
+    The speculative-decode verify step (models/spec_decode): the T block
+    tokens' queries attend the pool in ONE kernel sweep — the T*g query
+    rows fold into the kernel's row dimension (same online-softmax body;
+    a bigger M also feeds the MXU better than decode's 8 rows) — and the
+    caller merges the result with the staged in-flight block's partial
+    attention under one softmax. The XLA einsum alternative materializes a
+    dequantized f32 copy of the pool per layer per step (~5 GB of extra
+    HBM traffic at 7B/23k), which ate the entire speculative speedup at
+    long context (round-4 probe)."""
+    b, hq, t, d = q.shape
+    num_pages, hkv, ps, _ = k_pages.shape
+    g = hq // hkv
+    rows = g * t
+    gpad = max(8, -(-rows // 8) * 8)
+    # Head-major rows: row g_i*T + t_i <- query (head h*g+g_i, token t_i).
+    qg = q.reshape(b, hkv, rows, d)
+    if gpad > rows:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gpad - rows), (0, 0)))
+    acc, m, l = _seq_attention_call(
+        qg, k_pages, v_pages, None, None, length,
+        sm_scale=sm_scale, pages_per_block=pages_per_block,
+        interpret=interpret, emit_ml=True,
+    )
+    acc = acc[:, :, :rows].reshape(b, hq, t, d)
+    m = m[:, :, :rows, 0].reshape(b, hq, t)
+    l = l[:, :, :rows, 0].reshape(b, hq, t)
+    return acc, m, l
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sm_scale", "pages_per_block", "interpret")
+)
+def paged_seq_attention_partial_int8(
+    q: jnp.ndarray,            # [B, Hq, T, Dh]
+    k_pages: jnp.ndarray,      # int8
+    v_pages: jnp.ndarray,
+    k_scale: jnp.ndarray,      # [num_pages, Hkv, page_size] f32
+    v_scale: jnp.ndarray,
+    length: jnp.ndarray,
+    sm_scale: float | None = None,
+    pages_per_block: int = SEQ_POOL_BLOCK,
+    interpret: bool = False,
+):
+    """Int8-pool twin of paged_seq_attention_partial (fused in-register
+    dequant — scales commute out of both contractions)."""
+    b, hq, t, d = q.shape
+    num_pages, hkv, ps, _ = k_pages.shape
+    g = hq // hkv
+    rows = g * t
+    gpad = max(8, -(-rows // 8) * 8)
+    qg = q.reshape(b, hkv, rows, d)
+    if gpad > rows:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gpad - rows), (0, 0)))
+    acc, m, l = _seq_attention_call(
+        qg, k_pages, v_pages, k_scale, v_scale, length,
+        sm_scale=sm_scale, pages_per_block=pages_per_block,
+        interpret=interpret, emit_ml=True,
+    )
+    acc = acc[:, :, :rows].reshape(b, hq, t, d)
+    m = m[:, :, :rows, 0].reshape(b, hq, t)
+    l = l[:, :, :rows, 0].reshape(b, hq, t)
+    return acc, m, l
+
+
+def _seq_attention_call(
+    qg, k_pages, v_pages, k_scale, v_scale, length, *,
+    sm_scale, pages_per_block, interpret, emit_ml,
+):
+    """Shared pallas_call plumbing for the seq-pool kernels with emit_ml.
+
+    qg is already [B, hkv, gpad, d]-padded. Returns (acc, m, l) with m/l as
+    [B, hkv, gpad, 128] broadcast blocks."""
+    b, hkv, gpad, d = qg.shape
+    num_pages, _, ps, _ = k_pages.shape
+    if num_pages % b:
+        raise ValueError(f"pool of {num_pages} pages not divisible into "
+                         f"{b} partitioned rows")
+    row_pages = num_pages // b
+    if b == 1:
+        nb = -(-row_pages // pages_per_block)
+    else:
+        if row_pages % pages_per_block:
+            raise ValueError(
+                f"partitioned rows of {row_pages} pages must be a multiple "
+                f"of pages_per_block={pages_per_block}")
+        nb = row_pages // pages_per_block
+    if sm_scale is None:
+        sm_scale = d ** -0.5
+    int8 = k_scale is not None
+    span = pages_per_block * ps
+    kern = _seq_decode_int8_kernel if int8 else _seq_decode_kernel
+    kernel = functools.partial(
+        kern, sm_scale=sm_scale, page_size=ps,
+        pages_per_block=pages_per_block, num_blocks=nb, num_kv_heads=hkv,
+        emit_ml=emit_ml,
+    )
+    in_specs = [
+        pl.BlockSpec((1, hkv, gpad, d), lambda bi, j, length: (bi, 0, 0, 0)),
+        pl.BlockSpec((pages_per_block, hkv, ps, d),
+                     lambda bi, j, length, _nb=nb: (bi * _nb + j, 0, 0, 0)),
+        pl.BlockSpec((pages_per_block, hkv, ps, d),
+                     lambda bi, j, length, _nb=nb: (bi * _nb + j, 0, 0, 0)),
+    ]
+    operands = [qg, k_pages, v_pages]
+    if int8:
+        k_scale_hm = k_scale.transpose(1, 0, 2).reshape(hkv, num_pages * ps)
+        v_scale_hm = v_scale.transpose(1, 0, 2).reshape(hkv, num_pages * ps)
+        in_specs += [
+            pl.BlockSpec((hkv, span),
+                         lambda bi, j, length, _nb=nb: (0, bi * _nb + j)),
+            pl.BlockSpec((hkv, span),
+                         lambda bi, j, length, _nb=nb: (0, bi * _nb + j)),
+        ]
+        operands += [k_scale_hm, v_scale_hm]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nb),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, hkv, gpad, d), lambda bi, j, length: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, hkv, gpad, 128),
+                         lambda bi, j, length: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, hkv, gpad, 128),
+                         lambda bi, j, length: (bi, 0, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((hkv, gpad, 128), jnp.float32),
+            pltpu.VMEM((hkv, gpad, 128), jnp.float32),
+            pltpu.VMEM((hkv, gpad, d), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hkv, gpad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv, gpad, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv, gpad, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(length.astype(jnp.int32), *operands)
 
 
 def _paged_decode_int8_kernel(

@@ -212,6 +212,75 @@ class TestTextLMPlumbing:
         assert out2 == base             # corpus must not change greedy output
 
 
+class TestSeqPartialKernel:
+    """The multi-query partial seq-pool kernel (interpret mode) must match
+    the XLA einsum oracle that _spec_attention uses on CPU."""
+
+    @pytest.mark.parametrize("int8", [False, True])
+    def test_partial_kernel_matches_einsum(self, int8):
+        import numpy as np
+
+        from streamchat_tpu.models.paged_kv import _quantize_kv
+        from streamchat_tpu.models.spec_decode import _spec_attention
+        from streamchat_tpu.ops.paged_attention import (
+            paged_seq_attention_partial,
+            paged_seq_attention_partial_int8,
+        )
+
+        b, hq, hkv, t, d, ps, maxp = 1, 8, 2, 4, 32, 16, 4
+        g = hq // hkv
+        k1, k2, k3, k4, k5 = jax.random.split(jax.random.key(0), 5)
+        q = jax.random.normal(k1, (b, hq, t, d), jnp.float32)
+        kd = jax.random.normal(k2, (b * maxp, hkv, ps, d), jnp.float32)
+        vd = jax.random.normal(k3, (b * maxp, hkv, ps, d), jnp.float32)
+        fresh_k = jax.random.normal(k4, (b, hkv, t, d), jnp.float32)
+        fresh_v = jax.random.normal(k5, (b, hkv, t, d), jnp.float32)
+        length = jnp.array([37], jnp.int32)   # ragged: mid-page boundary
+        sm = d ** -0.5
+
+        if int8:
+            ki, ks = _quantize_kv(kd)
+            vi, vs = _quantize_kv(vd)
+            oracle = _spec_attention(
+                q, ki, vi, ks, vs, length, fresh_k, fresh_v, sm
+            )
+            acc, m, l = paged_seq_attention_partial_int8(
+                q, ki, vi, ks, vs, length,
+                sm_scale=sm, pages_per_block=2, interpret=True,
+            )
+        else:
+            oracle = _spec_attention(
+                q, kd, vd, None, None, length, fresh_k, fresh_v, sm
+            )
+            acc, m, l = paged_seq_attention_partial(
+                q, kd, vd, length,
+                sm_scale=sm, pages_per_block=2, interpret=True,
+            )
+        # Merge the kernel's pool partial with the fresh block the same way
+        # _spec_attention does and compare end to end.
+        qg = q.reshape(b, hkv, g, t, d)
+        s_f = jnp.einsum("bhgtd,bhud->bhgtu", qg, fresh_k) * sm
+        tri = jnp.arange(t)[None, :] <= jnp.arange(t)[:, None]
+        s_f = jnp.where(tri[None, None, None], s_f, -1e30)
+        m_f = jnp.max(s_f, axis=-1)
+        p_f = jnp.exp(s_f - m_f[..., None])
+        l_f = jnp.sum(p_f, axis=-1)
+        acc_f = jnp.einsum("bhgtu,bhud->bhgtd", p_f, fresh_v)
+        m_p = m.reshape(b, hkv, g, t)
+        l_p = l.reshape(b, hkv, g, t)
+        acc_p = acc.reshape(b, hkv, g, t, d)
+        m_tot = jnp.maximum(m_p, m_f)
+        a_p = jnp.exp(m_p - m_tot)[..., None]
+        a_f = jnp.exp(m_f - m_tot)[..., None]
+        out = (acc_p * a_p + acc_f * a_f) / (
+            l_p[..., None] * a_p + l_f[..., None] * a_f
+        )
+        out = out.reshape(b, hq, t, d)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(oracle), rtol=2e-3, atol=2e-3
+        )
+
+
 class TestAcceptanceStats:
     def test_oracle_corpus_cuts_steps(self, tiny):
         """With the true continuation in the lookup corpus, 16 tokens must
