@@ -705,24 +705,28 @@ def stage2_judge(save_file, report, args=None):
     # path (one weight read per decode step for the whole batch) amortizes
     # it. Same prompts -> the batch-N program compiled by the stage-2 run
     # above is reused; first call warms, second is timed.
-    nb = min(len(predictions), 8) or 1
-    batch_rows = [dict(predictions[i % len(predictions)], forced_parse=True)
-                  for i in range(nb)]
+    if predictions:
+        nb = min(len(predictions), 8)
+        batch_rows = [
+            dict(predictions[i % len(predictions)], forced_parse=True)
+            for i in range(nb)
+        ]
 
-    def batch_pass():
-        judge_mod.judge_predictions(
-            batch_rows, forced_generate,
-            output_path="/tmp/e2e7b_judge_warm_batch.jsonl", batch_size=nb,
-        )
+        def batch_pass():
+            judge_mod.judge_predictions(
+                batch_rows, forced_generate,
+                output_path="/tmp/e2e7b_judge_warm_batch.jsonl",
+                batch_size=nb,
+            )
 
-    batch_pass()
-    t0 = time.time()
-    batch_pass()
-    per_row_b = (time.time() - t0) / nb
-    report["stage2_warm_batch_rows"] = nb
-    report["stage2_warm_batch_row_s"] = round(per_row_b, 3)
-    log(f"stage 2 warm batched row: {per_row_b:.2f}s/row at batch {nb} "
-        f"(batch-1 projection figure stays {warm_row:.2f})")
+        batch_pass()
+        t0 = time.time()
+        batch_pass()
+        per_row_b = (time.time() - t0) / nb
+        report["stage2_warm_batch_rows"] = nb
+        report["stage2_warm_batch_row_s"] = round(per_row_b, 3)
+        log(f"stage 2 warm batched row: {per_row_b:.2f}s/row at batch {nb} "
+            f"(batch-1 projection figure stays {warm_row:.2f})")
     del lm, params
     gc.collect()
 

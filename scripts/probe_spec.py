@@ -129,7 +129,7 @@ def main():
 
     # attribution: per-verify-step cost vs the vanilla per-token step,
     # both with the measured prefill subtracted
-    van_step = (t_van - t_pre) / (args.max_new - 1)
+    van_step = (t_van - t_pre) / max(args.max_new - 1, 1)
     summary = {
         "tag": "summary",
         "vanilla_p50_s": round(t_van, 4),

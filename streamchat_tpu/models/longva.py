@@ -397,25 +397,16 @@ class LongVA:
             or top_p is not None
         ):
             return {}
-        import numpy as np
+        from streamchat_tpu.models.spec_decode import build_lookup_arrays
 
         rows = [
             [t for t in tokenize_with_image_token(p, self.tokenizer) if t >= 0]
             for p in prompts
         ]
-        n = max(1, max(len(r) for r in rows))
-        pad = genlib.pad_to_bucket(min(n, 4096), 256, minimum=256)
-        arr = np.full((len(rows), pad), -1, np.int32)
-        lens = np.zeros((len(rows),), np.int32)
-        for i, r in enumerate(rows):
-            m = min(len(r), pad)
-            arr[i, :m] = r[:m]
-            lens[i] = m
         return {
             "spec_tokens": self.spec_tokens,
             "spec_ngram": self.spec_ngram,
-            "lookup_tokens": jnp.asarray(arr),
-            "lookup_len": jnp.asarray(lens),
+            **build_lookup_arrays(rows),
         }
 
     def _paged_budget(self, prompt_len: int, max_new_tokens: int) -> dict:

@@ -539,3 +539,33 @@ def _sample(logits, key, temperature):
     from streamchat_tpu.ops.sampling import sample_token
 
     return sample_token(logits, key, temperature=temperature, top_p=None)
+
+
+def build_lookup_arrays(
+    rows, *, bucket: int = 256, cap: int = 4096
+) -> dict:
+    """Pack host-side token-id lists into bucketed lookup arrays.
+
+    The single source of the compiled-shape policy for lookup corpora
+    (LongVA prompts, TextLM rolling verdict corpus): pad to a `bucket`
+    multiple (bounding distinct compiled shapes — axon executables
+    permanently reserve their workspace), cap at `cap` tokens, fill with
+    -1 (never a real token id, so no spurious n-gram matches).
+    Returns generate_paged's {lookup_tokens, lookup_len} kwargs.
+    """
+    import numpy as np
+
+    from streamchat_tpu.models.generate import pad_to_bucket
+
+    n = max(1, max((len(r) for r in rows), default=1))
+    pad = pad_to_bucket(min(n, cap), bucket, minimum=bucket)
+    arr = np.full((len(rows), pad), -1, np.int32)
+    lens = np.zeros((len(rows),), np.int32)
+    for i, r in enumerate(rows):
+        m = min(len(r), pad)
+        arr[i, :m] = r[:m]
+        lens[i] = m
+    return {
+        "lookup_tokens": jnp.asarray(arr),
+        "lookup_len": jnp.asarray(lens),
+    }

@@ -133,7 +133,7 @@ class TextLM:
                 temperature=temperature, top_p=top_p,
                 eos_ids=tuple(self.tokenizer.eos_ids),
                 spec_tokens=self.spec_tokens, spec_ngram=self.spec_ngram,
-                **self._spec_lookup(ids, b),
+                **self._spec_lookup(ids),
             )
         else:
             toks, count = genlib.generate(
@@ -155,23 +155,11 @@ class TextLM:
             del self._spec_corpus[:-8]
         return [self.tokenizer.decode(o).strip() for o in outs]
 
-    def _spec_lookup(self, ids, b) -> dict:
+    def _spec_lookup(self, ids) -> dict:
         """Lookup corpus rows: each prompt's own tokens + the rolling
-        recent-output corpus, padded to a 256 bucket (bounded compiled
-        shapes — see LongVA._spec_kwargs)."""
-        import numpy as np
+        recent-output corpus (shared bucket/cap policy:
+        spec_decode.build_lookup_arrays)."""
+        from streamchat_tpu.models.spec_decode import build_lookup_arrays
 
         recent = [t for o in self._spec_corpus for t in o][-1024:]
-        rows = [list(r) + recent for r in ids]
-        n = max(1, max(len(r) for r in rows))
-        pad = genlib.pad_to_bucket(min(n, 4096), 256, minimum=256)
-        arr = np.full((b, pad), -1, np.int32)
-        lens = np.zeros((b,), np.int32)
-        for i, r in enumerate(rows):
-            m = min(len(r), pad)
-            arr[i, :m] = r[:m]
-            lens[i] = m
-        return {
-            "lookup_tokens": jnp.asarray(arr),
-            "lookup_len": jnp.asarray(lens),
-        }
+        return build_lookup_arrays([list(r) + recent for r in ids])

@@ -403,62 +403,17 @@ def paged_decode_attention_pallas_seq(
     across rows (the batched-captioning serving path).
     """
     b, hq, _, d = q.shape
-    num_pages, hkv, ps, _ = k_pages.shape
-    if num_pages % b:
-        raise ValueError(f"pool of {num_pages} pages not divisible into "
-                         f"{b} partitioned rows")
-    row_pages = num_pages // b
-    if b == 1:
-        # Ceil grid: the tail block may read past the pool (Mosaic pads the
-        # trailing block); the length mask discards those columns.
-        nb = -(-row_pages // pages_per_block)
-    else:
-        # Batched partitioned rows: block offsets are bi*nb + j, so each
-        # row's slice must hold exactly nb full blocks.
-        if row_pages % pages_per_block:
-            raise ValueError(
-                f"partitioned rows of {row_pages} pages must be a multiple "
-                f"of pages_per_block={pages_per_block}")
-        nb = row_pages // pages_per_block
-    if sm_scale is None:
-        sm_scale = d ** -0.5
+    hkv = k_pages.shape[1]
     g = hq // hkv
     gpad = max(8, -(-g // 8) * 8)
     qg = q.reshape(b, hkv, g, d)
     if gpad > g:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gpad - g), (0, 0)))
-    kernel = functools.partial(
-        _seq_decode_kernel,
-        sm_scale=sm_scale, page_size=ps,
-        pages_per_block=pages_per_block, num_blocks=nb, num_kv_heads=hkv,
+    out = _seq_attention_call(
+        qg, k_pages, v_pages, None, None, length,
+        sm_scale=sm_scale, pages_per_block=pages_per_block,
+        interpret=interpret, emit_ml=False,
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b, nb),
-        in_specs=[
-            pl.BlockSpec((1, hkv, gpad, d), lambda bi, j, length: (bi, 0, 0, 0)),
-            pl.BlockSpec((pages_per_block, hkv, ps, d),
-                         lambda bi, j, length, _nb=nb: (bi * _nb + j, 0, 0, 0)),
-            pl.BlockSpec((pages_per_block, hkv, ps, d),
-                         lambda bi, j, length, _nb=nb: (bi * _nb + j, 0, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, hkv, gpad, d),
-                               lambda bi, j, length: (bi, 0, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((hkv, gpad, 128), jnp.float32),
-            pltpu.VMEM((hkv, gpad, 128), jnp.float32),
-            pltpu.VMEM((hkv, gpad, d), jnp.float32),
-        ],
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, hkv, gpad, d), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(length.astype(jnp.int32), qg, k_pages, v_pages)
     return out[:, :, :g].reshape(b, hq, 1, d)
 
 
@@ -479,74 +434,17 @@ def paged_decode_attention_pallas_seq_int8(
     """Int8-cache twin of paged_decode_attention_pallas_seq (incl. batched
     partitioned-pool rows)."""
     b, hq, _, d = q.shape
-    num_pages, hkv, ps, _ = k_pages.shape
-    if num_pages % b:
-        raise ValueError(f"pool of {num_pages} pages not divisible into "
-                         f"{b} partitioned rows")
-    row_pages = num_pages // b
-    if b == 1:
-        # Ceil grid: the tail block may read past the pool (Mosaic pads the
-        # trailing block); the length mask discards those columns.
-        nb = -(-row_pages // pages_per_block)
-    else:
-        # Batched partitioned rows: block offsets are bi*nb + j, so each
-        # row's slice must hold exactly nb full blocks.
-        if row_pages % pages_per_block:
-            raise ValueError(
-                f"partitioned rows of {row_pages} pages must be a multiple "
-                f"of pages_per_block={pages_per_block}")
-        nb = row_pages // pages_per_block
-    if sm_scale is None:
-        sm_scale = d ** -0.5
+    hkv = k_pages.shape[1]
     g = hq // hkv
     gpad = max(8, -(-g // 8) * 8)
     qg = q.reshape(b, hkv, g, d)
     if gpad > g:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gpad - g), (0, 0)))
-    # Head-major flattened scales: [num_pages, hkv, ps] ->
-    # [hkv, num_pages*ps] so a per-head row slice is already the lane-shaped
-    # [1, span] the kernel multiplies s/p by (~190 KB transpose per step).
-    # Rows' page regions are contiguous, so a row's block j lives at
-    # flattened block index bi*nb + j.
-    k_scale_hm = k_scale.transpose(1, 0, 2).reshape(hkv, num_pages * ps)
-    v_scale_hm = v_scale.transpose(1, 0, 2).reshape(hkv, num_pages * ps)
-    span = pages_per_block * ps
-    kernel = functools.partial(
-        _seq_decode_int8_kernel,
-        sm_scale=sm_scale, page_size=ps,
-        pages_per_block=pages_per_block, num_blocks=nb, num_kv_heads=hkv,
+    out = _seq_attention_call(
+        qg, k_pages, v_pages, k_scale, v_scale, length,
+        sm_scale=sm_scale, pages_per_block=pages_per_block,
+        interpret=interpret, emit_ml=False,
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b, nb),
-        in_specs=[
-            pl.BlockSpec((1, hkv, gpad, d), lambda bi, j, length: (bi, 0, 0, 0)),
-            pl.BlockSpec((pages_per_block, hkv, ps, d),
-                         lambda bi, j, length, _nb=nb: (bi * _nb + j, 0, 0, 0)),
-            pl.BlockSpec((pages_per_block, hkv, ps, d),
-                         lambda bi, j, length, _nb=nb: (bi * _nb + j, 0, 0, 0)),
-            pl.BlockSpec((hkv, span),
-                         lambda bi, j, length, _nb=nb: (0, bi * _nb + j)),
-            pl.BlockSpec((hkv, span),
-                         lambda bi, j, length, _nb=nb: (0, bi * _nb + j)),
-        ],
-        out_specs=pl.BlockSpec((1, hkv, gpad, d),
-                               lambda bi, j, length: (bi, 0, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((hkv, gpad, 128), jnp.float32),
-            pltpu.VMEM((hkv, gpad, 128), jnp.float32),
-            pltpu.VMEM((hkv, gpad, d), jnp.float32),
-        ],
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, hkv, gpad, d), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(length.astype(jnp.int32), qg, k_pages, v_pages, k_scale_hm, v_scale_hm)
     return out[:, :, :g].reshape(b, hq, 1, d)
 
 
@@ -574,24 +472,11 @@ def paged_seq_attention_partial(
     dequantized f32 copy of the pool per layer per step (~5 GB of extra
     HBM traffic at 7B/23k), which ate the entire speculative speedup at
     long context (round-4 probe)."""
-    b, hq, t, d = q.shape
-    num_pages, hkv, ps, _ = k_pages.shape
-    g = hq // hkv
-    rows = g * t
-    gpad = max(8, -(-rows // 8) * 8)
-    # Head-major rows: row g_i*T + t_i <- query (head h*g+g_i, token t_i).
-    qg = q.reshape(b, hkv, rows, d)
-    if gpad > rows:
-        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gpad - rows), (0, 0)))
-    acc, m, l = _seq_attention_call(
-        qg, k_pages, v_pages, None, None, length,
+    return _seq_partial(
+        q, k_pages, v_pages, None, None, length,
         sm_scale=sm_scale, pages_per_block=pages_per_block,
-        interpret=interpret, emit_ml=True,
+        interpret=interpret,
     )
-    acc = acc[:, :, :rows].reshape(b, hq, t, d)
-    m = m[:, :, :rows, 0].reshape(b, hq, t)
-    l = l[:, :, :rows, 0].reshape(b, hq, t)
-    return acc, m, l
 
 
 @functools.partial(
@@ -610,11 +495,24 @@ def paged_seq_attention_partial_int8(
 ):
     """Int8-pool twin of paged_seq_attention_partial (fused in-register
     dequant — scales commute out of both contractions)."""
+    return _seq_partial(
+        q, k_pages, v_pages, k_scale, v_scale, length,
+        sm_scale=sm_scale, pages_per_block=pages_per_block,
+        interpret=interpret,
+    )
+
+
+def _seq_partial(
+    q, k_pages, v_pages, k_scale, v_scale, length, *,
+    sm_scale, pages_per_block, interpret,
+):
+    """Fold the T·g query rows into the kernel row dim -> (acc, m, l)."""
     b, hq, t, d = q.shape
-    num_pages, hkv, ps, _ = k_pages.shape
+    hkv = k_pages.shape[1]
     g = hq // hkv
     rows = g * t
     gpad = max(8, -(-rows // 8) * 8)
+    # Head-major rows: row g_i*T + t_i <- query (head h*g+g_i, token t_i).
     qg = q.reshape(b, hkv, rows, d)
     if gpad > rows:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gpad - rows), (0, 0)))
@@ -633,10 +531,12 @@ def _seq_attention_call(
     qg, k_pages, v_pages, k_scale, v_scale, length, *,
     sm_scale, pages_per_block, interpret, emit_ml,
 ):
-    """Shared pallas_call plumbing for the seq-pool kernels with emit_ml.
+    """Shared pallas_call plumbing for ALL sequential-pool entry points
+    (normalized decode and emit_ml partial, bf16 and int8 pools).
 
-    qg is already [B, hkv, gpad, d]-padded. Returns (acc, m, l) with m/l as
-    [B, hkv, gpad, 128] broadcast blocks."""
+    qg is already [B, hkv, gpad, d]-padded. emit_ml=True returns
+    (acc f32, m, l) with m/l as [B, hkv, gpad, 128] broadcast blocks;
+    emit_ml=False returns the normalized output in qg.dtype."""
     b, hkv, gpad, d = qg.shape
     num_pages, _, ps, _ = k_pages.shape
     if num_pages % b:
@@ -670,6 +570,11 @@ def _seq_attention_call(
     ]
     operands = [qg, k_pages, v_pages]
     if int8:
+        # Head-major flattened scales: [num_pages, hkv, ps] ->
+        # [hkv, num_pages*ps] so a per-head row slice is already the
+        # lane-shaped [1, span] the kernel multiplies s/p by. Rows' page
+        # regions are contiguous, so a row's block j lives at flattened
+        # block index bi*nb + j.
         k_scale_hm = k_scale.transpose(1, 0, 2).reshape(hkv, num_pages * ps)
         v_scale_hm = v_scale.transpose(1, 0, 2).reshape(hkv, num_pages * ps)
         in_specs += [
@@ -679,17 +584,27 @@ def _seq_attention_call(
                          lambda bi, j, length, _nb=nb: (0, bi * _nb + j)),
         ]
         operands += [k_scale_hm, v_scale_hm]
+    out_block = pl.BlockSpec(
+        (1, hkv, gpad, d), lambda bi, j, length: (bi, 0, 0, 0)
+    )
+    ml_block = pl.BlockSpec(
+        (1, hkv, gpad, 128), lambda bi, j, length: (bi, 0, 0, 0)
+    )
+    if emit_ml:
+        out_specs = [out_block, ml_block, ml_block]
+        out_shape = [
+            jax.ShapeDtypeStruct((b, hkv, gpad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv, gpad, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv, gpad, 128), jnp.float32),
+        ]
+    else:
+        out_specs = out_block
+        out_shape = jax.ShapeDtypeStruct((b, hkv, gpad, d), qg.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, nb),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, hkv, gpad, d), lambda bi, j, length: (bi, 0, 0, 0)),
-            pl.BlockSpec((1, hkv, gpad, 128),
-                         lambda bi, j, length: (bi, 0, 0, 0)),
-            pl.BlockSpec((1, hkv, gpad, 128),
-                         lambda bi, j, length: (bi, 0, 0, 0)),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((hkv, gpad, 128), jnp.float32),
             pltpu.VMEM((hkv, gpad, 128), jnp.float32),
@@ -699,11 +614,7 @@ def _seq_attention_call(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((b, hkv, gpad, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, hkv, gpad, 128), jnp.float32),
-            jax.ShapeDtypeStruct((b, hkv, gpad, 128), jnp.float32),
-        ],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
