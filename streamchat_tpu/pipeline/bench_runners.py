@@ -21,6 +21,9 @@ SURVEY.md §2.5 [vendored-baseline]):
   "Choices:" straight onto the question and each branch's trailing
   whitespace differs); per-dataset output `{name}_eval.json` mapping
   q_id -> {video_id, question, output_sequence} (:192-215).
+  `videoqa` rows feed `eval/judge.py --format generic` (the reference
+  judges them with `eval_video_qa_with_llama3_others.py`) and then
+  `eval/scoring.py` — the same 3-stage chain as StreamBench.
 * ``seedbench`` — `test_other_models/seed_bench/
   inference_seed_bench_v2_longva.py`: filter by cumulative level /
   subpart / cumulative version (:41-69), strip ``<img>`` from the

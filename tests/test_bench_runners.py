@@ -239,6 +239,34 @@ class TestRunners:
         # come from candidate-text NLLs (the reference never scored the
         # candidate text at all — see module docstring).
 
+    def test_videoqa_judge_scoring_chain(self, tmp_path, tiny_model):
+        """The same 3-stage chain the reference runs on these rows:
+        videoqa rows -> judge --format generic
+        (eval_video_qa_with_llama3_others.py) -> score aggregation."""
+        from streamchat_tpu.eval.judge import judge_predictions
+        from streamchat_tpu.eval.scoring import aggregate_scores
+        from streamchat_tpu.pipeline.bench_runners import run_videoqa
+
+        _write_video(tmp_path / "v_vid0.mp4")
+        gt_file = tmp_path / "gt.json"
+        gt_file.write_text(json.dumps([
+            {"video_name": "vid0", "question": "what?", "answer": "a",
+             "question_id": "q0"},
+        ]))
+        args = argparse.Namespace(
+            video_dir=str(tmp_path), gt_file_question=str(gt_file),
+            output_dir=str(tmp_path / "out"), output_name="preds",
+            video_prefix="v_", num_chunks=1, chunk_idx=0, num_frame=4,
+            temperature=0.0, max_new_tokens=4,
+        )
+        rows = run_videoqa(tiny_model, args)
+        judged = judge_predictions(
+            rows, lambda p: "{'llama_pred': 'yes', 'score': 4.0}",
+            fmt="generic",
+        )
+        scores = aggregate_scores(judged)
+        assert scores["Yes count"] == 1 and scores["Accuracy"] == 1.0
+
     def test_seedbench_bad_source_raises(self, tmp_path, tiny_model):
         from streamchat_tpu.pipeline.bench_runners import run_seedbench
 
