@@ -152,9 +152,12 @@ def _attn_body(x32, s_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     h = _ln_f32(x32, s_ref[:], b_ref[:], eps).astype(dtype)
     qkv = jnp.dot(h, wqkv_ref[:], preferred_element_type=jnp.float32)
     qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(dtype)
+    ones_col = jnp.ones((x32.shape[0], 1), dtype)
     heads_out = []
     for hd in range(num_heads):  # static slices keep layouts trivial
-        q = qkv[:, hd * dh:(hd + 1) * dh]
+        # Pre-scaling q touches [S, dh] instead of the [S, S] score tile
+        # (scale = dh^-0.5 is a power of two for dh=64, so exact in bf16).
+        q = qkv[:, hd * dh:(hd + 1) * dh] * dtype.type(scale)
         k = qkv[:, d + hd * dh:d + (hd + 1) * dh]
         v = qkv[:, 2 * d + hd * dh:2 * d + (hd + 1) * dh]
         s_qk = jax.lax.dot_general(
@@ -163,16 +166,20 @@ def _attn_body(x32, s_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
         )                                                         # [S, S] f32
         # Manual softmax, engineered for VPU passes over the [S, S] tile —
         # the in-kernel VPU work between the MXU dots is this kernel's
-        # measured roofline gap (round-4 ingest probe): the scale folds
-        # into the reduce + the exp chain (mul+sub+exp+cast fuse into one
-        # elementwise pass), and normalization moves AFTER the p·v dot onto
-        # the [S, dh] output (9x fewer elements than dividing p). ~3 passes
-        # where scale + jax.nn.softmax + cast was ~6.
-        m = jnp.max(s_qk, axis=-1, keepdims=True) * scale         # [S, 1]
-        p = jnp.exp(s_qk * scale - m)                             # [S, S] f32
-        l_inv = 1.0 / jnp.sum(p, axis=-1, keepdims=True)          # [S, 1]
-        o = jnp.dot(p.astype(dtype), v, preferred_element_type=jnp.float32)
-        heads_out.append((o * l_inv).astype(dtype))
+        # measured roofline gap (round-4 ingest probe): ~2 passes (max
+        # reduce; sub+exp+cast fused) where scale + jax.nn.softmax + cast
+        # was ~6. The denominator rides the p·v MXU dot as a ones column
+        # (dh=64 output tiles pad to 128 lanes anyway, so it is free), and
+        # normalization lands AFTER the dot on the [S, dh] output (9x
+        # fewer elements than dividing p).
+        m = jnp.max(s_qk, axis=-1, keepdims=True)                 # [S, 1]
+        p = jnp.exp(s_qk - m)                                     # [S, S] f32
+        ol = jnp.dot(
+            p.astype(dtype), jnp.concatenate([v, ones_col], axis=1),
+            preferred_element_type=jnp.float32,
+        )                                                         # [S, dh+1]
+        l_inv = 1.0 / ol[:, dh:]
+        heads_out.append((ol[:, :dh] * l_inv).astype(dtype))
     attn = jnp.concatenate(heads_out, axis=-1)                    # [S, D]
     out = jnp.dot(attn, wo_ref[:], preferred_element_type=jnp.float32)
     return out + bo_ref[:].astype(jnp.float32) + x32
