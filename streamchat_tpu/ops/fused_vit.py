@@ -166,19 +166,25 @@ def _attn_body(x32, s_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
         )                                                         # [S, S] f32
         # Manual softmax, engineered for VPU passes over the [S, S] tile —
         # the in-kernel VPU work between the MXU dots is this kernel's
-        # measured roofline gap (round-4 ingest probe): ~2 passes (max
-        # reduce; sub+exp+cast fused) where scale + jax.nn.softmax + cast
-        # was ~6. The denominator rides the p·v MXU dot as a ones column
-        # (dh=64 output tiles pad to 128 lanes anyway, so it is free), and
-        # normalization lands AFTER the dot on the [S, dh] output (9x
-        # fewer elements than dividing p).
-        m = jnp.max(s_qk, axis=-1, keepdims=True)                 # [S, 1]
-        p = jnp.exp(s_qk - m)                                     # [S, S] f32
+        # measured roofline gap (round-4 ingest probe): ONE fused
+        # elementwise pass (clamp+exp+cast) where scale + jax.nn.softmax +
+        # cast was ~6. The usual running-max subtraction exists only to
+        # keep exp() in range; LN-bounded ViT logits sit well under the
+        # f32 exp limit (~88), so an 80.0 clamp gives the same overflow
+        # safety without the [S, S] max-reduce pass. Unnormalized exp has
+        # identical RELATIVE float precision to the max-subtracted form
+        # (the softmax is a ratio), and rows driven entirely below the
+        # underflow floor are caught by the 1e-30 denominator guard
+        # (outputs ~0 instead of NaN). The denominator rides the p·v MXU
+        # dot as a ones column (dh=64 output tiles pad to 128 lanes
+        # anyway, so it is free), and normalization lands AFTER the dot
+        # on the [S, dh] output (9x fewer elements than dividing p).
+        p = jnp.exp(jnp.minimum(s_qk, 80.0))                      # [S, S] f32
         ol = jnp.dot(
             p.astype(dtype), jnp.concatenate([v, ones_col], axis=1),
             preferred_element_type=jnp.float32,
         )                                                         # [S, dh+1]
-        l_inv = 1.0 / ol[:, dh:]
+        l_inv = 1.0 / jnp.maximum(ol[:, dh:], 1e-30)
         heads_out.append((ol[:, :dh] * l_inv).astype(dtype))
     attn = jnp.concatenate(heads_out, axis=-1)                    # [S, D]
     out = jnp.dot(attn, wo_ref[:], preferred_element_type=jnp.float32)
