@@ -72,7 +72,8 @@ def _block(x: jnp.ndarray, p: Params, cfg: ViTConfig) -> jnp.ndarray:
     return x + (h @ p["mlp"]["fc2"]["w"] + p["mlp"]["fc2"]["b"])
 
 
-def _block_fused(x: jnp.ndarray, p: Params, cfg: ViTConfig, interpret: bool) -> jnp.ndarray:
+def _block_fused(x: jnp.ndarray, p: Params, cfg: ViTConfig, interpret: bool,
+                 softmax_mode: str = "clamp") -> jnp.ndarray:
     """The same block via the fused Pallas layer-half kernels (ops/fused_vit).
 
     Round-2 profiling: XLA runs each LayerNorm as a standalone 3.5 ms
@@ -102,7 +103,8 @@ def _block_fused(x: jnp.ndarray, p: Params, cfg: ViTConfig, interpret: bool) -> 
         p["mlp"]["fc2"]["w"], p["mlp"]["fc2"]["b"],
         num_heads=cfg.num_heads, eps=cfg.layernorm_eps,
         activation="quick_gelu",
-        frame_tile=2 if n % 2 == 0 else 1, interpret=interpret,
+        frame_tile=2 if n % 2 == 0 else 1, softmax_mode=softmax_mode,
+        interpret=interpret,
     )
 
 
@@ -182,7 +184,9 @@ def _embed_patches(pixels: jnp.ndarray, w: jnp.ndarray, cfg: ViTConfig) -> jnp.n
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "select_layer", "fused", "interpret")
+    jax.jit,
+    static_argnames=("cfg", "select_layer", "fused", "softmax_mode",
+                     "interpret"),
 )
 def hidden_states(
     params: Params,
@@ -190,9 +194,16 @@ def hidden_states(
     cfg: ViTConfig,
     select_layer: int | None = None,
     fused: bool | None = None,
+    softmax_mode: str = "clamp",
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Run the tower up to `select_layer`, returning [N, 1+P, hidden]."""
+    """Run the tower up to `select_layer`, returning [N, 1+P, hidden].
+
+    `softmax_mode` (fused path only): "clamp" is the benched 1-pass
+    softmax, exact for attention logits in (-87, 80] — validate a real
+    checkpoint once with `attention_logit_bounds`; "exact" is the
+    always-correct max-subtract form (~2.6% slower ingest).
+    """
     if select_layer is None:
         select_layer = cfg.select_layer
     num_blocks = cfg.num_layers + 1 + select_layer if select_layer < 0 else select_layer
@@ -204,8 +215,52 @@ def hidden_states(
     x = jnp.concatenate([cls, x], axis=1) + params["pos_embed"][None]
     x = _layernorm(x, params["pre_ln"]["scale"], params["pre_ln"]["bias"], cfg.layernorm_eps)
     for p in params["layers"][:num_blocks]:
-        x = _block_fused(x, p, cfg, interpret) if use_fused else _block(x, p, cfg)
+        x = (_block_fused(x, p, cfg, interpret, softmax_mode)
+             if use_fused else _block(x, p, cfg))
     return x
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "select_layer"))
+def attention_logit_bounds(
+    params: Params,
+    pixels: jnp.ndarray,
+    cfg: ViTConfig,
+    select_layer: int | None = None,
+) -> jnp.ndarray:
+    """Per-layer [min, max] attention logits over a sample batch: [L, 2] f32.
+
+    One-time validation probe for the fused kernels' "clamp" softmax
+    (ops/fused_vit.py): run this on a REAL checkpoint with a batch of
+    representative frames before enabling the fused path. The clamp mode is
+    exact while every row's max logit stays in (-87, 80]; a per-layer max
+    near 80 or a min suggesting whole rows below -87 means the encoder
+    should run with softmax_mode="exact" instead. Uses the unfused path
+    (independent math) in f32 score precision, same as the kernel.
+    """
+    if select_layer is None:
+        select_layer = cfg.select_layer
+    num_blocks = cfg.num_layers + 1 + select_layer if select_layer < 0 else select_layer
+    x = _embed_patches(pixels, params["patch_embed"]["w"], cfg)
+    cls = jnp.broadcast_to(
+        params["class_embed"][None, None, :], (x.shape[0], 1, cfg.hidden_size)
+    )
+    x = jnp.concatenate([cls, x], axis=1) + params["pos_embed"][None]
+    x = _layernorm(x, params["pre_ln"]["scale"], params["pre_ln"]["bias"],
+                   cfg.layernorm_eps)
+    bounds = []
+    for p in params["layers"][:num_blocks]:
+        h = _layernorm(x, p["ln1"]["scale"], p["ln1"]["bias"], cfg.layernorm_eps)
+        n, s, d = h.shape
+        dh = d // cfg.num_heads
+        q = (h @ p["attn"]["q"]["w"] + p["attn"]["q"]["b"]).reshape(
+            n, s, cfg.num_heads, dh)
+        k = (h @ p["attn"]["k"]["w"] + p["attn"]["k"]["b"]).reshape(
+            n, s, cfg.num_heads, dh)
+        s_qk = jnp.einsum("nqhd,nkhd->nhqk", q, k,
+                          preferred_element_type=jnp.float32) * dh ** -0.5
+        bounds.append(jnp.stack([jnp.min(s_qk), jnp.max(s_qk)]))
+        x = _block(x, p, cfg)
+    return jnp.stack(bounds)
 
 
 def encode(

@@ -144,7 +144,7 @@ def fused_ln_mlp(
 
 
 def _attn_body(x32, s_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
-               *, num_heads, eps, dtype):
+               *, num_heads, eps, dtype, softmax_mode="clamp"):
     """f32 [S, D] -> f32 [S, D]: x + O(attention(QKV(LN(x))))."""
     d = x32.shape[-1]
     dh = d // num_heads
@@ -166,20 +166,37 @@ def _attn_body(x32, s_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
         )                                                         # [S, S] f32
         # Manual softmax, engineered for VPU passes over the [S, S] tile —
         # the in-kernel VPU work between the MXU dots is this kernel's
-        # measured roofline gap (round-4 ingest probe): ONE fused
-        # elementwise pass (clamp+exp+cast) where scale + jax.nn.softmax +
-        # cast was ~6. The usual running-max subtraction exists only to
-        # keep exp() in range; LN-bounded ViT logits sit well under the
-        # f32 exp limit (~88), so an 80.0 clamp gives the same overflow
-        # safety without the [S, S] max-reduce pass. Unnormalized exp has
-        # identical RELATIVE float precision to the max-subtracted form
-        # (the softmax is a ratio), and rows driven entirely below the
-        # underflow floor are caught by the 1e-30 denominator guard
-        # (outputs ~0 instead of NaN). The denominator rides the p·v MXU
-        # dot as a ones column (dh=64 output tiles pad to 128 lanes
-        # anyway, so it is free), and normalization lands AFTER the dot
-        # on the [S, dh] output (9x fewer elements than dividing p).
-        p = jnp.exp(jnp.minimum(s_qk, 80.0))                      # [S, S] f32
+        # measured roofline gap (round-4 ingest probe). Two modes:
+        #
+        # * "clamp" (default, benched 378.58 f/s): ONE fused elementwise
+        #   pass (clamp+exp+cast) where scale + jax.nn.softmax + cast was
+        #   ~6. The usual running-max subtraction exists only to keep
+        #   exp() in range; the 80.0 clamp gives the same OVERFLOW safety
+        #   without the [S, S] max-reduce pass, and unnormalized exp has
+        #   identical RELATIVE float precision to the max-subtracted form
+        #   (softmax is a ratio). Its exactness domain is row max logit in
+        #   (-87, 80]: above 80 logits flatten to equal weight; a row
+        #   whose max sits below ~-87 underflows entirely and the 1e-30
+        #   denominator guard returns ~0 instead of the softmax average
+        #   (no NaN either way). Both edges are pinned by adversarial
+        #   tests (tests/test_fused_vit.py::TestSoftmaxModes). LN-bounded
+        #   trained-ViT logits are expected well inside the domain —
+        #   VALIDATE per real checkpoint with
+        #   models.vit.attention_logit_bounds before shipping this mode.
+        # * "exact": per-row max subtraction — exact for all inputs, one
+        #   extra VPU max-reduce pass over [S, S] (~2.6% ingest, measured
+        #   368 vs 378 f/s). The fallback when a checkpoint's logit probe
+        #   lands outside the clamp domain.
+        #
+        # In both modes the denominator rides the p·v MXU dot as a ones
+        # column (dh=64 output tiles pad to 128 lanes anyway, so it is
+        # free), and normalization lands AFTER the dot on the [S, dh]
+        # output (9x fewer elements than dividing p).
+        if softmax_mode == "exact":
+            m = jnp.max(s_qk, axis=-1, keepdims=True)             # [S, 1]
+            p = jnp.exp(s_qk - m)                                 # [S, S] f32
+        else:
+            p = jnp.exp(jnp.minimum(s_qk, 80.0))                  # [S, S] f32
         ol = jnp.dot(
             p.astype(dtype), jnp.concatenate([v, ones_col], axis=1),
             preferred_element_type=jnp.float32,
@@ -192,23 +209,25 @@ def _attn_body(x32, s_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
 
 
 def _attn_kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, o_ref,
-                 *, num_heads, eps, frame_tile):
+                 *, num_heads, eps, frame_tile, softmax_mode):
     for f in range(frame_tile):  # static unroll; frame_tile is small
         out = _attn_body(
             x_ref[f].astype(jnp.float32), s_ref, b_ref, wqkv_ref, bqkv_ref,
             wo_ref, bo_ref, num_heads=num_heads, eps=eps, dtype=x_ref.dtype,
+            softmax_mode=softmax_mode,
         )
         o_ref[f] = out.astype(o_ref.dtype)
 
 
 def _layer_kernel(x_ref, s1_ref, b1l_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
                   s2_ref, b2l_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
-                  *, num_heads, eps, activation, frame_tile):
+                  *, num_heads, eps, activation, frame_tile, softmax_mode):
     dt = x_ref.dtype
     for f in range(frame_tile):
         mid_x = _attn_body(
             x_ref[f].astype(jnp.float32), s1_ref, b1l_ref, wqkv_ref, bqkv_ref,
             wo_ref, bo_ref, num_heads=num_heads, eps=eps, dtype=dt,
+            softmax_mode=softmax_mode,
         )                                                         # [S, D] f32
         h = _ln_f32(mid_x, s2_ref[:], b2l_ref[:], eps).astype(dt)
         mid = jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32)
@@ -218,9 +237,16 @@ def _layer_kernel(x_ref, s1_ref, b1l_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
         o_ref[f] = out.astype(o_ref.dtype)
 
 
+def _check_softmax_mode(softmax_mode):
+    if softmax_mode not in ("clamp", "exact"):
+        raise ValueError(
+            f"softmax_mode={softmax_mode!r}: expected 'clamp' or 'exact'")
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "eps", "activation", "frame_tile", "interpret"),
+    static_argnames=("num_heads", "eps", "activation", "frame_tile",
+                     "softmax_mode", "interpret"),
 )
 def fused_vit_layer(
     x: jnp.ndarray,
@@ -241,6 +267,7 @@ def fused_vit_layer(
     eps: float = 1e-5,
     activation: str = "quick_gelu",
     frame_tile: int = 2,
+    softmax_mode: str = "clamp",
     interpret: bool = False,
 ) -> jnp.ndarray:
     """One full pre-LN transformer block, VMEM-resident per frame tile.
@@ -255,10 +282,11 @@ def fused_vit_layer(
     n, s, d = x.shape
     if n % frame_tile:
         raise ValueError(f"N={n} not a multiple of frame_tile={frame_tile}")
+    _check_softmax_mode(softmax_mode)
     grid = (n // frame_tile,)
     kernel = functools.partial(
         _layer_kernel, num_heads=num_heads, eps=eps, activation=activation,
-        frame_tile=frame_tile,
+        frame_tile=frame_tile, softmax_mode=softmax_mode,
     )
     dmid = w1.shape[1]
     vec = lambda i: (0,)
@@ -291,7 +319,9 @@ def fused_vit_layer(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "eps", "frame_tile", "interpret")
+    jax.jit,
+    static_argnames=("num_heads", "eps", "frame_tile", "softmax_mode",
+                     "interpret"),
 )
 def fused_ln_attn(
     x: jnp.ndarray,
@@ -305,6 +335,7 @@ def fused_ln_attn(
     num_heads: int,
     eps: float = 1e-5,
     frame_tile: int = 1,
+    softmax_mode: str = "clamp",
     interpret: bool = False,
 ) -> jnp.ndarray:
     """out = x + O(attention(QKV(LN(x)))) for non-causal ViT attention.
@@ -316,9 +347,11 @@ def fused_ln_attn(
     n, s, d = x.shape
     if n % frame_tile:
         raise ValueError(f"N={n} not a multiple of frame_tile={frame_tile}")
+    _check_softmax_mode(softmax_mode)
     grid = (n // frame_tile,)
     kernel = functools.partial(
-        _attn_kernel, num_heads=num_heads, eps=eps, frame_tile=frame_tile
+        _attn_kernel, num_heads=num_heads, eps=eps, frame_tile=frame_tile,
+        softmax_mode=softmax_mode,
     )
     vec = lambda i: (0,)
     return pl.pallas_call(

@@ -8,6 +8,10 @@ paths removed, same jobs):
     (tools/Ego_Class/resample.py).
   * check-videos — verify every referenced video exists and opens
     (tools/check_video_open_ok.py, check_all_data_exsit.py).
+  * extract-frames — fps-based frame extraction into per-video folders
+    (ego_data.py:6-51; its write loop is commented out upstream and, as
+    written, would overwrite one fixed filename — here it works and writes
+    indexed frames).
 """
 
 from __future__ import annotations
@@ -96,6 +100,64 @@ def check_videos(annotations: List[dict], video_dir: str, open_check: bool = Fal
     return bad
 
 
+def extract_frames(
+    video_path: str,
+    output_folder: str,
+    fps: float = 1.0,
+    limit: Optional[int] = None,
+) -> Dict:
+    """Extract frames at `fps` into `output_folder/<video_name>/`.
+
+    Port of the reference's `ego_data.py:6-51` curation utility: same
+    interval rule (`int(video_fps / fps)` source frames between writes),
+    same per-video subfolder naming, same duration report. Deviations,
+    both documented here because the upstream loop is dead code: frames
+    are written as `frame_{index:06d}.jpg` (the commented-out reference
+    loop reuses one filename, keeping only the last frame) and there is
+    no 0.5 s sleep per write.
+    """
+    import cv2
+
+    video = cv2.VideoCapture(video_path)
+    if not video.isOpened():
+        raise ValueError(f"cannot open video: {video_path}")
+    video_fps = video.get(cv2.CAP_PROP_FPS) or fps
+    total_frames = int(video.get(cv2.CAP_PROP_FRAME_COUNT))
+    frame_interval = max(int(video_fps / fps), 1)
+    video_name = os.path.splitext(os.path.basename(video_path))[0]
+    save_path = os.path.join(output_folder, video_name)
+    os.makedirs(save_path, exist_ok=True)
+
+    total_duration_sec = total_frames / video_fps if video_fps else 0.0
+    hours = int(total_duration_sec // 3600)
+    minutes = int((total_duration_sec % 3600) // 60)
+    seconds = int(total_duration_sec % 60)
+
+    current_frame = 0
+    extracted = 0
+    while video.isOpened():
+        ret, frame = video.read()
+        if not ret:
+            break
+        if current_frame % frame_interval == 0:
+            cv2.imwrite(
+                os.path.join(save_path, f"frame_{extracted:06d}.jpg"), frame
+            )
+            extracted += 1
+            if limit is not None and extracted >= limit:
+                break
+        current_frame += 1
+    video.release()
+    return {
+        "video": video_path,
+        "save_path": save_path,
+        "video_fps": video_fps,
+        "total_frames": total_frames,
+        "duration": f"{hours:02}:{minutes:02}:{seconds:02}",
+        "extracted_frames": extracted,
+    }
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description="StreamBench curation tools")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -123,7 +185,24 @@ def main(argv=None) -> None:
     pp.add_argument("--annotations", required=True)
     pp.add_argument("--out_dir", default=".")
 
+    ep = sub.add_parser(
+        "extract-frames",
+        help="fps-based frame extraction into output_folder/<video_name>/ "
+             "(reference ego_data.py)",
+    )
+    ep.add_argument("--video", required=True)
+    ep.add_argument("--output_folder", required=True)
+    ep.add_argument("--fps", type=float, default=1.0)
+    ep.add_argument("--limit", type=int, default=None,
+                    help="stop after this many extracted frames")
+
     args = p.parse_args(argv)
+    if args.cmd == "extract-frames":
+        print(json.dumps(
+            extract_frames(args.video, args.output_folder, args.fps,
+                           limit=args.limit),
+            indent=2))
+        return
     with open(args.annotations, encoding="utf-8") as f:
         annotations = json.load(f)
 

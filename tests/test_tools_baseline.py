@@ -105,6 +105,45 @@ class TestTools:
         assert len(written) == len(out["wrote"]) == 3
 
 
+class TestExtractFrames:
+    def test_extract_frames_interval_and_layout(self, tmp_path, capsys):
+        """Port of ego_data.py: fps-based interval extraction into
+        output_folder/<video_name>/ (the reference's write loop is dead
+        code upstream; here it writes indexed jpgs)."""
+        cv2 = pytest.importorskip("cv2")
+        from streamchat_tpu.tools import streambench
+
+        path = tmp_path / "clip.mp4"
+        w = cv2.VideoWriter(
+            str(path), cv2.VideoWriter_fourcc(*"mp4v"), 30.0, (64, 64))
+        assert w.isOpened()
+        rng = np.random.default_rng(0)
+        for _ in range(90):  # 3 s at 30 fps
+            w.write(rng.integers(0, 255, (64, 64, 3), np.uint8))
+        w.release()
+
+        out_dir = tmp_path / "frames"
+        streambench.main([
+            "extract-frames", "--video", str(path),
+            "--output_folder", str(out_dir), "--fps", "1",
+        ])
+        out = json.loads(capsys.readouterr().out)
+        # interval = int(30/1) = 30 -> frames 0, 30, 60 extracted
+        assert out["extracted_frames"] == 3
+        assert out["total_frames"] == 90
+        assert out["duration"] == "00:00:03"
+        files = sorted((out_dir / "clip").iterdir())
+        assert [f.name for f in files] == [
+            "frame_000000.jpg", "frame_000001.jpg", "frame_000002.jpg"]
+
+    def test_extract_frames_limit_and_bad_path(self, tmp_path):
+        from streamchat_tpu.tools.streambench import extract_frames
+
+        pytest.importorskip("cv2")
+        with pytest.raises(ValueError, match="cannot open"):
+            extract_frames(str(tmp_path / "nope.mp4"), str(tmp_path))
+
+
 class TestBaseline:
     def test_uniform_indices(self):
         from streamchat_tpu.pipeline.baseline import uniform_indices
