@@ -706,27 +706,38 @@ def stage2_judge(save_file, report, args=None):
     # it. Same prompts -> the batch-N program compiled by the stage-2 run
     # above is reused; first call warms, second is timed.
     if predictions:
-        nb = min(len(predictions), 8)
-        batch_rows = [
-            dict(predictions[i % len(predictions)], forced_parse=True)
-            for i in range(nb)
-        ]
+        # Batch curve (VERDICT r4 #7): per-row cost at batch 2/4/8 — the
+        # batched path reads the 8B weights once per decode step for the
+        # whole batch, so rows amortize. The conservative batch-1 figure
+        # stays the main projection term; compute_projections adds a
+        # v5p8_hours_dp4_batched_judge variant from the best point here.
+        curve = {}
+        for nb in (2, 4, 8):
+            batch_rows = [
+                dict(predictions[i % len(predictions)], forced_parse=True)
+                for i in range(nb)
+            ]
 
-        def batch_pass():
-            judge_mod.judge_predictions(
-                batch_rows, forced_generate,
-                output_path="/tmp/e2e7b_judge_warm_batch.jsonl",
-                batch_size=nb,
-            )
+            def batch_pass(rows=batch_rows, n=nb):
+                judge_mod.judge_predictions(
+                    rows, forced_generate,
+                    output_path="/tmp/e2e7b_judge_warm_batch.jsonl",
+                    batch_size=n,
+                )
 
-        batch_pass()
-        t0 = time.time()
-        batch_pass()
-        per_row_b = (time.time() - t0) / nb
-        report["stage2_warm_batch_rows"] = nb
-        report["stage2_warm_batch_row_s"] = round(per_row_b, 3)
-        log(f"stage 2 warm batched row: {per_row_b:.2f}s/row at batch {nb} "
-            f"(batch-1 projection figure stays {warm_row:.2f})")
+            batch_pass()                       # compile + warm
+            t0 = time.time()
+            batch_pass()
+            per_row_b = (time.time() - t0) / nb
+            curve[str(nb)] = round(per_row_b, 3)
+            log(f"stage 2 warm batched row: {per_row_b:.2f}s/row at "
+                f"batch {nb} (batch-1 projection figure stays "
+                f"{warm_row:.2f})")
+        report["stage2_warm_batch_curve"] = curve
+        # kept for older readers: the batch-2 point
+        report["stage2_warm_batch_rows"] = 2
+        report["stage2_warm_batch_row_s"] = curve.get("2")
+        report["stage2_warm_batch_row_best_s"] = min(curve.values())
     del lm, params
     gc.collect()
 
@@ -893,7 +904,7 @@ def compute_projections(report):
                                report.get("stage1_questions", 1)))
         factors = {
             "ingest": 10.0, "dedup": 4.0, "caption": 7.0, "summarize": 7.0,
-            "history": 1.0, "store": 1.0,
+            "history": 1.0, "store": 1.0, "qembed": 1.0,
             "answer.retrieval": 1.0, "answer.generate": 7.0,
         }
         mem_other = max(
@@ -905,7 +916,7 @@ def compute_projections(report):
             - warm.get("answer.generate", 0.0)
         )
         top_level = ["ingest", "dedup", "caption", "summarize", "history",
-                     "store", "answer.retrieval", "answer.generate"]
+                     "store", "qembed", "answer.retrieval", "answer.generate"]
         proj = sum(warm.get(p, 0.0) / factors[p] for p in top_level)
         proj += mem_other / 4.0 + ans_other / 1.0
         wall = report.get("stage1_warm_wall_s", 0.0)
@@ -927,7 +938,7 @@ def compute_projections(report):
         # answer) shrink ~10x there. Modeled by re-running the sum with the
         # 1x phases at 10x and the caption/answer host slice (measured
         # ~0.5 s/call of their totals) moved from 2x to 10x.
-        host_phases = ["history", "store", "answer.retrieval"]
+        host_phases = ["history", "store", "qembed", "answer.retrieval"]
         proj_host = sum(
             warm.get(p, 0.0) / (10.0 if p in host_phases else factors[p])
             for p in top_level
@@ -959,7 +970,8 @@ def compute_projections(report):
         factors_dp4 = {
             "ingest": 12.0, "dedup": 8.0, "caption": 10.4,
             "summarize": 10.4, "history": 10.0, "store": 10.0,
-            "answer.retrieval": 10.0, "answer.generate": 10.4,
+            "qembed": 10.0, "answer.retrieval": 10.0,
+            "answer.generate": 10.4,
         }
         proj_dp4 = sum(warm.get(p, 0.0) / factors_dp4[p] for p in top_level)
         proj_dp4 += mem_other / 8.0 + ans_other / 10.0
@@ -991,6 +1003,16 @@ def compute_projections(report):
                        + stage3_row / 10.0) * 2500 / 3600, 2)
                 for s in spread
             ]
+        # Batched-judge variant (VERDICT r4 #7): same dp4 sum with stage 2
+        # at the measured BEST warm batched s/row instead of the
+        # conservative batch-1 figure (which stays the headline term).
+        batched_row = report.get("stage2_warm_batch_row_best_s") \
+            or report.get("stage2_warm_batch_row_s")
+        if batched_row:
+            pb = proj_dp4 + nq * ((batched_row - judge_row) / 10.4)
+            report["projection"]["v5p8_hours_dp4_batched_judge"] = round(
+                pb / nq * 2500 / 3600, 2
+            )
 
         # Measured-device variant (VERDICT r3 next #2): when --profile ran,
         # replace the blended per-phase factors with the TRACED device/host
@@ -1025,7 +1047,8 @@ def compute_projections(report):
             pm += split(answer_tot, frac_ans)
             pm += warm.get("ingest", 0.0) / 12.0
             pm += warm.get("dedup", 0.0) / 8.0 + mem_other / 8.0
-            pm += (warm.get("history", 0.0) + warm.get("store", 0.0)) / HOST
+            pm += (warm.get("history", 0.0) + warm.get("store", 0.0)
+                   + warm.get("qembed", 0.0)) / HOST
             pm += max(0.0, wall - attributed) / HOST
             pm += nq * (split(judge_row, frac_ans) + stage3_row / HOST)
             report["projection"]["v5p8_hours_dp4_measured"] = round(

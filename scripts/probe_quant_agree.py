@@ -1,0 +1,264 @@
+"""int8 / int4 vs bf16 logit-divergence + greedy-agreement at 7B geometry.
+
+VERDICT r4 #4: the int8-vs-int4 default was chosen on speed with no accuracy
+evidence and none gatherable (real checkpoints are not fetchable). This
+probe builds the recordable proxy: quantization error is WEIGHT-LOCAL
+(per-channel / per-group RTN rounding of the weights), so random weights at
+the exact production geometry are a fair stress for the rounding scheme
+itself — what random weights CANNOT provide is realistic logit margins, so
+the headline numbers are logit-error magnitudes (to be compared against
+real-model confident-token margins, typically O(2-10) logits), not argmax
+flip rates (random-weight logits are near-tie noise where any perturbation
+flips argmaxes — measured round 4).
+
+Per dtype (each in its own subprocess — an axon OOM poisons a process):
+  bf16   : greedy trajectory over each prompt + teacher-forced top-16
+           (ids, logits) at every answer position -> /tmp/qa_ref_<i>.npz
+  int8/4 : SAME initial weights quantized (ops/quant.py), teacher-forced on
+           the bf16 trajectory; records its logits AT bf16's top-16 ids,
+           its own argmax, and its own greedy trajectory.
+
+Parent aggregates into QUANT_AGREE.json:
+  raw/centered |dlogit| RMS + p95 at bf16's top-16 ids (centered = after
+  removing each position's mean shift — the component that can flip an
+  argmax), argmax-agreement rate + bf16 margin distribution (interpret
+  against the margins caveat above), greedy match fraction + first
+  divergence step.
+
+Run: python scripts/probe_quant_agree.py            (parent; ~15-25 min)
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import functools
+import gc
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+K = 16
+
+
+def build_prompts(cfg, n_prompts, ctx, key0=1):
+    """Deterministic battery: random visual-style embeds (0.02 scale) with
+    differing seeds/lengths — the production answer-prompt shape class."""
+    import jax
+    import jax.numpy as jnp
+
+    prompts = []
+    for i in range(n_prompts):
+        k = jax.random.key(key0 + i)
+        emb = (jax.random.normal(k, (1, ctx, cfg.hidden_size)) * 0.02
+               ).astype(jnp.bfloat16)
+        prompts.append((emb, ctx - 5 - 3 * i))
+    return prompts
+
+
+def forced_topk_fn(cfg, slab=256):   # slab logits 256x152k f32 = 156 MB —
+    # bf16 7B leaves <1 GB of headroom on the 16 GB chip
+    import jax
+    import jax.numpy as jnp
+
+    from streamchat_tpu.models import decoder
+    from streamchat_tpu.models.decoder import KVCache
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(params, embeds, length, ref_ids):
+        b, s, _ = embeds.shape
+        positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None],
+                                     (b, s))
+        cache = KVCache.create(cfg, b, s, dtype=embeds.dtype)
+        hidden, _ = decoder.forward(
+            params, cfg, embeds, positions, cache,
+            jnp.asarray([length], jnp.int32)[0][None], decode=False,
+        )
+
+        # lm_head in slabs: the full [S, V] f32 logits tensor is ~2.6 GB at
+        # S=4k and cannot coexist with the bf16 7B weights.
+        hs = hidden[0].reshape(s // slab, slab, -1)
+        rs = ref_ids.reshape(s // slab, slab, K)
+
+        def do(carry, xs):
+            h, r = xs
+            logits = decoder.logits_from_hidden(params, cfg, h[None])[0]
+            vals, ids = jax.lax.top_k(logits, K)
+            at_ref = jnp.take_along_axis(logits, r, axis=-1)
+            return carry, (ids.astype(jnp.int32), vals, at_ref)
+
+        _, (ids, vals, at_ref) = jax.lax.scan(do, 0, (hs, rs))
+        return (ids.reshape(s, K), vals.reshape(s, K), at_ref.reshape(s, K))
+
+    return run
+
+
+def child(args):
+    import jax
+    import jax.numpy as jnp
+
+    from streamchat_tpu.config import DecoderConfig
+    from streamchat_tpu.models import decoder as dec_mod
+    from streamchat_tpu.models.generate_paged import generate_paged
+
+    cfg = dataclasses.replace(DecoderConfig.qwen2_7b(),
+                              num_layers=args.layers)
+    t0 = time.time()
+    params = dec_mod.init(jax.random.key(0), cfg, jnp.bfloat16)
+    jax.block_until_ready(params["embed"])
+    if args.dtype != "bf16":
+        from streamchat_tpu.ops.quant import quantize_decoder_params
+
+        params = quantize_decoder_params(
+            params, destructive=True, quantize_embed=True,
+            bits=4 if args.dtype == "int4" else 8)
+        gc.collect()
+    print(json.dumps({"phase": f"init {args.dtype}",
+                      "s": round(time.time() - t0, 1)}), flush=True)
+
+    run_topk = forced_topk_fn(cfg)
+    prompts = build_prompts(cfg, args.prompts, args.ctx)
+    out = {}
+    for i, (emb, plen) in enumerate(prompts):
+        ref = (np.load(f"/tmp/qa_ref_{i}.npz")
+               if args.dtype != "bf16" else None)
+        # greedy trajectory (own)
+        toks, count = generate_paged(
+            params, cfg, emb, jnp.asarray([plen], jnp.int32),
+            jax.random.key(9), max_new_tokens=args.max_new,
+            temperature=0.0, eos_ids=(-1,), page_size=128,
+        )[:2]
+        traj = np.asarray(jax.device_get(toks))[0][:args.max_new]
+
+        # teacher-forced pass over (prompt + REFERENCE trajectory)
+        force_traj = ref["traj"] if ref is not None else traj
+        emb_full = emb
+        tok_emb = dec_mod.embed_tokens(
+            params, jnp.asarray(force_traj, jnp.int32)
+        ).astype(emb.dtype)[None]
+        s_pad = emb.shape[1]
+        need = plen + len(force_traj)
+        if need > s_pad:
+            raise ValueError("ctx too small for trajectory")
+        emb_full = jax.lax.dynamic_update_slice(
+            emb, tok_emb, (0, plen, 0))
+        ref_ids = (jnp.asarray(ref["ids"], jnp.int32) if ref is not None
+                   else jnp.zeros((s_pad, K), jnp.int32))
+        ids, vals, at_ref = (np.asarray(jax.device_get(x))
+                             for x in run_topk(params, emb_full,
+                                               need, ref_ids))
+        out[i] = dict(traj=traj, ids=ids, vals=vals, at_ref=at_ref,
+                      plen=plen, n=len(force_traj))
+        np.savez(f"/tmp/qa_{args.dtype}_{i}.npz", **out[i])
+        if args.dtype == "bf16":
+            np.savez(f"/tmp/qa_ref_{i}.npz", traj=traj, ids=ids, vals=vals,
+                     plen=plen)
+        print(json.dumps({"phase": f"prompt {i} done",
+                          "dtype": args.dtype}), flush=True)
+    return 0
+
+
+def aggregate(args):
+    report = {
+        "description": "weight-local quantization-error proxy at Qwen2-7B "
+                       "geometry (random weights; see module docstring for "
+                       "the margins caveat)",
+        "geometry": f"qwen2-7b layers={args.layers} ctx={args.ctx} "
+                    f"max_new={args.max_new} prompts={args.prompts}",
+        "dtypes": {},
+    }
+    for dtype in ("int8", "int4"):
+        agg = {"dlogit_raw": [], "dlogit_centered": [], "argmax_agree": [],
+               "greedy_match": [], "first_div": [], "margins": []}
+        for i in range(args.prompts):
+            ref = np.load(f"/tmp/qa_ref_{i}.npz")
+            q = np.load(f"/tmp/qa_{dtype}_{i}.npz")
+            plen, n = int(ref["plen"]), len(ref["traj"])
+            pos = slice(plen - 1, plen - 1 + n)   # predicts answer tokens
+            rv, qv = ref["vals"][pos], q["at_ref"][pos]     # [n, K]
+            d = qv - rv
+            agg["dlogit_raw"].append(d)
+            agg["dlogit_centered"].append(d - d.mean(axis=1, keepdims=True))
+            agg["argmax_agree"].append(
+                ref["ids"][pos][:, 0] == q["ids"][pos][:, 0])
+            agg["margins"].append(ref["vals"][pos][:, 0]
+                                  - ref["vals"][pos][:, 1])
+            match = ref["traj"] == q["traj"]
+            agg["greedy_match"].append(match.mean())
+            div = np.argmin(match) if not match.all() else len(match)
+            agg["first_div"].append(int(div))
+        raw = np.concatenate(agg["dlogit_raw"]).ravel()
+        cen = np.concatenate(agg["dlogit_centered"]).ravel()
+        margins = np.concatenate(agg["margins"])
+        report["dtypes"][dtype] = {
+            "dlogit_raw_rms": round(float(np.sqrt((raw ** 2).mean())), 4),
+            "dlogit_raw_p95": round(float(np.percentile(np.abs(raw), 95)), 4),
+            "dlogit_centered_rms": round(
+                float(np.sqrt((cen ** 2).mean())), 4),
+            "dlogit_centered_p95": round(
+                float(np.percentile(np.abs(cen), 95)), 4),
+            "argmax_agree_rate": round(
+                float(np.concatenate(agg["argmax_agree"]).mean()), 4),
+            "greedy_match_frac": [round(float(m), 3)
+                                  for m in agg["greedy_match"]],
+            "greedy_first_divergence": agg["first_div"],
+        }
+        report["bf16_margin_top1_top2"] = {
+            "median": round(float(np.median(margins)), 4),
+            "p90": round(float(np.percentile(margins, 90)), 4),
+        }
+    # Decision criterion (recorded, applied in PARITY/README): int4 becomes
+    # the default only when a real-checkpoint eval shows its CENTERED logit
+    # error stays well under real confident-token margins; until then int8
+    # (whose error is ~4-8x smaller by construction) stays the default and
+    # int4 the documented latency-floor mode.
+    i8 = report["dtypes"]["int8"]["dlogit_centered_rms"]
+    i4 = report["dtypes"]["int4"]["dlogit_centered_rms"]
+    report["decision"] = {
+        "default": "int8",
+        "criterion": "flip int4 to default iff a real-checkpoint eval "
+                     "shows centered dlogit RMS << confident-token margins "
+                     "(typically O(2-10) logits in trained 7B models)",
+        "centered_rms_ratio_int4_over_int8": round(i4 / max(i8, 1e-9), 2),
+    }
+    with open(args.out, "w", encoding="utf-8") as f:
+        json.dump(report, f, indent=2)
+        f.write("\n")
+    print(json.dumps(report["dtypes"], indent=1))
+    print(f"wrote {args.out}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", choices=("bf16", "int8", "int4"))
+    ap.add_argument("--layers", type=int, default=28)
+    ap.add_argument("--ctx", type=int, default=2048)
+    ap.add_argument("--max_new", type=int, default=128)
+    ap.add_argument("--prompts", type=int, default=4)
+    ap.add_argument("--out", default=os.path.join(REPO, "QUANT_AGREE.json"))
+    ap.add_argument("--timeout", type=int, default=1500)
+    args = ap.parse_args()
+    if args.dtype:
+        return child(args)
+    for dtype in ("bf16", "int8", "int4"):
+        cmd = [sys.executable, os.path.abspath(__file__), "--dtype", dtype,
+               "--layers", str(args.layers), "--ctx", str(args.ctx),
+               "--max_new", str(args.max_new), "--prompts", str(args.prompts)]
+        print(f"=== {dtype} ===", flush=True)
+        r = subprocess.run(cmd, timeout=args.timeout)
+        if r.returncode != 0:
+            print(f"{dtype} child failed rc={r.returncode}", flush=True)
+            return 1
+    aggregate(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -52,6 +52,9 @@ def main():
     p.add_argument("--ngram", type=int, default=3)
     p.add_argument("--int4", action="store_true")
     p.add_argument("--skip_oracle", action="store_true")
+    p.add_argument("--curve_out", default=None, metavar="JSON",
+                   help="also write the summary (incl. the acceptance-"
+                        "parametric p50 curve) to this artifact path")
     args = p.parse_args()
 
     from streamchat_tpu.config import DecoderConfig
@@ -153,6 +156,35 @@ def main():
             args.max_new / steps_orc, 2
         )
         summary["oracle_speedup_x"] = round(t_van / t_orc, 3)
+
+    # Acceptance-parametric p50 curve (VERDICT r4 #3a): random-weight greedy
+    # trajectories make any single end-to-end p50 ride a degenerate
+    # acceptance, but the measured step costs are implementation facts —
+    # p50(a) = prefill + ceil(max_new / a) * verify_step for a committed
+    # tokens/step (1 .. spec+1). Literature prompt-lookup acceptance on real
+    # text is ~2-4 tokens/step; scripts/probe_spec_text.py measures the
+    # drafting algorithm's own acceptance distribution on real text.
+    if steps_cold:
+        verify_step = (t_cold - t_pre) / steps_cold
+        curve = {}
+        for a in range(1, args.spec + 2):
+            import math as _math
+
+            steps = _math.ceil(args.max_new / a)
+            curve[str(a)] = round(t_pre + steps * verify_step, 3)
+        summary["p50_curve_by_tokens_per_step"] = curve
+        summary["p50_curve_inputs"] = {
+            "prefill_s": round(t_pre, 4),
+            "verify_step_ms": summary["verify_step_ms"],
+            "vanilla_step_ms": summary["vanilla_step_ms"],
+            "max_new": args.max_new,
+            "ctx": args.ctx,
+            "spec_tokens": args.spec,
+        }
+        if args.curve_out:
+            with open(args.curve_out, "w", encoding="utf-8") as f:
+                json.dump(summary, f, indent=2)
+                f.write("\n")
     print(json.dumps(summary), flush=True)
 
 

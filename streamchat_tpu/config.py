@@ -32,6 +32,15 @@ class MemoryConfig:
     # the long caption prefills need at chunk_size=40 / 7B geometry; costs
     # one extra H2D per caption, so off by default for small-model runs.
     offload_chunks: bool = False
+    # Heavy-tail guard: segments with MORE sampled frames than this offload
+    # their raw chunks automatically even when offload_chunks is False. The
+    # reference clamps only >900-frame segments to 200
+    # (inference_streaming_longva_v2.py:484-485), so a legal segment can
+    # carry ~840 frames — a ~3.5 GB feature stack at 7B geometry whose
+    # device-resident chunk copies would double it. 512 keeps every
+    # benchmarked geometry (<=360 frames) on the no-offload fast path.
+    # None disables the guard.
+    offload_chunks_over: Optional[int] = 512
     # Park the IDLE weight trees (ViT + projector + both text embedders,
     # ~1.3 GB at production geometry) in host RAM for the duration of each
     # segment's caption loop (utils/offload.WeightOffloader). Frees the

@@ -83,6 +83,20 @@ def build_documents(
     return docs
 
 
+def embed_into_cache(
+    embed_fn: EmbedFn, cache: Dict[str, np.ndarray], texts: Sequence[str]
+) -> List[np.ndarray]:
+    """Embed cache misses in ONE batched call; return rows for all texts."""
+    misses = [t for t in dict.fromkeys(texts) if t not in cache]
+    if misses:
+        rows = np.asarray(embed_fn(misses), np.float32)
+        for t, r in zip(misses, rows):
+            cache[t] = r
+        while len(cache) > 4096:               # bound host residency
+            cache.pop(next(iter(cache)))
+    return [cache[t] for t in texts]
+
+
 class MemoryIndex:
     """Embedding index over MemoryDocs with the reference's stitched search."""
 
@@ -92,15 +106,28 @@ class MemoryIndex:
         embed_fn: EmbedFn,
         chunk_size: int = 200,
         top_k: int = 1,
+        embed_cache: Optional[Dict[str, np.ndarray]] = None,
     ) -> None:
         self.docs = list(docs)
         self.chunk_size = chunk_size
         self.top_k = top_k
         self._embed = embed_fn
-        self._matrix = (
-            np.asarray(embed_fn([d.page_content for d in self.docs]), np.float32)
-            if self.docs else np.zeros((0, 1), np.float32)
-        )
+        # text -> embedding row. The reference re-embeds EVERY doc on each
+        # per-round FAISS rebuild (memory_utils.py:76-83); with a cache the
+        # rebuild embeds only the turn just written — one small device call
+        # instead of N (the bank shares one cache across rebuilds, and
+        # queries go through it too).
+        self._cache = embed_cache if embed_cache is not None else {}
+        if self.docs:
+            self._matrix = np.stack(embed_into_cache(
+                self._embed, self._cache,
+                [d.page_content for d in self.docs],
+            ))
+        else:
+            self._matrix = np.zeros((0, 1), np.float32)
+
+    def _embed_cached(self, texts: List[str]) -> List[np.ndarray]:
+        return embed_into_cache(self._embed, self._cache, texts)
 
     def __len__(self) -> int:
         return len(self.docs)
@@ -110,7 +137,7 @@ class MemoryIndex:
         (unnormalized) embeddings."""
         if not self.docs:
             return []
-        q = np.asarray(self._embed([query]), np.float32)[0]
+        q = self._embed_cached([query])[0]
         d2 = np.sum((self._matrix - q[None, :]) ** 2, axis=1)
         k = min(k, len(self.docs))
         return list(np.argsort(d2, kind="stable")[:k])
@@ -266,10 +293,20 @@ class MemoryBank:
         self.chunk_size = chunk_size
         self.top_k = top_k
         self._embed = embed_fn
+        # Shared text->embedding cache across per-round index rebuilds and
+        # query embeds (round-5 dispatch diet): each rebuild then embeds
+        # only the newly written turn, and pre-warmed queries cost nothing.
+        self.embed_cache: Dict[str, np.ndarray] = {}
         self.memory: Dict[str, dict] = {}
         if os.path.exists(memory_path):
             with open(memory_path, "r", encoding="utf-8") as f:
                 self.memory = json.load(f)
+
+    def precompute_embeddings(self, texts: Sequence[str]) -> None:
+        """Embed `texts` into the shared cache in ONE batched call (callers
+        hoist all of a video's questions out of the per-question path)."""
+        embed_into_cache(self._embed, self.embed_cache,
+                         [t for t in texts if t])
 
     def enter_name(self, name: str) -> Optional[MemoryIndex]:
         """Register/load a user and (re)build their index. Returns None for a
@@ -280,7 +317,8 @@ class MemoryBank:
         docs = build_documents(self.memory, name, self.language)
         if not docs:
             return None
-        return MemoryIndex(docs, self._embed, self.chunk_size, self.top_k)
+        return MemoryIndex(docs, self._embed, self.chunk_size, self.top_k,
+                           self.embed_cache)
 
     def save_local_memory(
         self, name: str, query: str, response: str, date: Optional[str] = None

@@ -212,10 +212,13 @@ class LongVA:
     ) -> Tuple[jnp.ndarray, int]:
         """Prompt text -> (padded embeds [1, S_pad, D], valid length).
 
-        Each `<image>` marker consumes the next entry of image_embeddings (a
-        [T, D] feature block). Truncates to dec_cfg.max_position_embeddings
-        like the reference's tokenizer_model_max_length clamp
-        (llava_arch.py:288-291).
+        Each `<image>` marker consumes the next entry of image_embeddings —
+        a [T, D] feature block, or a LIST of such blocks, which join the
+        single fused concatenate here (answer retrieval passes
+        [short | level_0 | ... | level_k] this way: pre-concatenating them
+        eagerly costs extra 50-90 ms relay dispatches per answer).
+        Truncates to dec_cfg.max_position_embeddings like the reference's
+        tokenizer_model_max_length clamp (llava_arch.py:288-291).
         """
         from streamchat_tpu.ops.quant import embed_dtype
 
@@ -247,7 +250,10 @@ class LongVA:
                     raise ValueError("prompt has more <image> tokens than embeddings")
                 feats = image_embeddings[img_idx]
                 img_idx += 1
-                segments.append(feats.reshape(-1, feats.shape[-1]).astype(dtype))
+                blocks = feats if isinstance(feats, (list, tuple)) else [feats]
+                segments.extend(
+                    b.reshape(-1, b.shape[-1]).astype(dtype) for b in blocks
+                )
             else:
                 text_run.append(tid)
         flush_text()
@@ -302,10 +308,12 @@ class LongVA:
                     )
                 feats = image_embeddings[img_idx]
                 img_idx += 1
-                n = 1
-                for s in feats.shape[:-1]:
-                    n *= s
-                total += n
+                blocks = feats if isinstance(feats, (list, tuple)) else [feats]
+                for b in blocks:
+                    n = 1
+                    for s in b.shape[:-1]:
+                        n *= s
+                    total += n
             else:
                 total += 1
         limit = max_len or self.dec_cfg.max_position_embeddings

@@ -32,6 +32,9 @@ class AnswerResult:
     # actually produced and persisted.
     nll: Optional[float] = None
     ppl: Optional[float] = None
+    # Host-side sub-step attribution of the retrieval half (round-5 answer
+    # dispatch diet): embed_query / tree.search / budget+assembly seconds.
+    timings: Optional[dict] = None
 
 
 def answer_question(
@@ -49,9 +52,20 @@ def answer_question(
     short_flat = short_memory.reshape(-1, short_memory.shape[-1])
 
     most_fine_grad_text: Optional[str] = None
-    image_embeddings = short_flat
+    # Visual blocks ride UNCONCATENATED into splice_prompt, which fuses
+    # them into its single concatenate — the former eager
+    # long-levels-then-[short|long] concats cost two ~50-90 ms relay
+    # dispatches per answer (round-5 dispatch diet; the budget logic below
+    # needs only shapes, no device ops).
+    blocks: List[jnp.ndarray] = [short_flat]
+    t_embed = t_search = 0.0
     if tree is not None and len(tree) > 0:
-        feats, texts = tree.search(embed_query(question))
+        te = time.time()
+        q_emb = embed_query(question)
+        t_search = time.time()
+        t_embed = t_search - te
+        feats, texts = tree.search(q_emb)
+        t_search = time.time() - t_search
         if feats:
             flat_levels = [f.reshape(-1, f.shape[-1]) for f in feats]
             budget = sampling.max_visual_tokens
@@ -66,9 +80,8 @@ def answer_question(
                     keep.append(f)
                     used += f.shape[0]
                 flat_levels = list(reversed(keep))
-            long_flat = jnp.concatenate(flat_levels, axis=0)
             most_fine_grad_text = texts[-1]
-            image_embeddings = jnp.concatenate([short_flat, long_flat], axis=0)
+            blocks = [short_flat] + flat_levels
 
     qs = prompts.build_answer_prompt(question, history_prompt, most_fine_grad_text)
     prompt = prompts.wrap_user_turn(conv_mode, qs)
@@ -76,14 +89,19 @@ def answer_question(
 
     output = model.generate_with_image_embedding(
         prompt,
-        image_embeddings=[image_embeddings],
+        image_embeddings=[blocks],
         max_new_tokens=sampling.max_answer_tokens,
         temperature=sampling.temperature,
         top_p=sampling.top_p,
     )
     t2 = time.time()
-    nll, ppl = _maybe_score(model, prompt, [image_embeddings], ppl_target)
-    return AnswerResult(output, t1 - t0, t2 - t1, nll=nll, ppl=ppl)
+    nll, ppl = _maybe_score(model, prompt, [blocks], ppl_target)
+    return AnswerResult(
+        output, t1 - t0, t2 - t1, nll=nll, ppl=ppl,
+        timings={"embed_query_s": round(t_embed, 4),
+                 "tree_search_s": round(t_search, 4),
+                 "assemble_s": round(t1 - t0 - t_embed - t_search, 4)},
+    )
 
 
 def _maybe_score(model, prompt, image_embeddings, ppl_target):
@@ -109,29 +127,26 @@ def answer_question_unimodal(
     short_flat = short_memory.reshape(-1, short_memory.shape[-1])
     q_emb = model.embed_text(question)
 
-    image_embeddings = short_flat
+    blocks: List[jnp.ndarray] = [short_flat]
     if tree is not None and len(tree) > 0:
         feats = tree.search_features(
             jnp.concatenate([q_emb.astype(short_flat.dtype), short_flat], axis=0)
         )
         if feats:
-            long_flat = jnp.concatenate(
-                [f.reshape(-1, f.shape[-1]) for f in feats], axis=0
-            )
-            image_embeddings = jnp.concatenate([short_flat, long_flat], axis=0)
+            blocks = [short_flat] + [f.reshape(-1, f.shape[-1]) for f in feats]
 
     qs = prompts.build_answer_prompt_unimodal(question, history_prompt)
     prompt = prompts.wrap_user_turn(conv_mode, qs)
     t1 = time.time()
     output = model.generate_with_image_embedding(
         prompt,
-        image_embeddings=[image_embeddings],
+        image_embeddings=[blocks],
         max_new_tokens=sampling.max_answer_tokens_unimodal,
         temperature=sampling.temperature,
         top_p=sampling.top_p,
     )
     t2 = time.time()
-    nll, ppl = _maybe_score(model, prompt, [image_embeddings], ppl_target)
+    nll, ppl = _maybe_score(model, prompt, [blocks], ppl_target)
     return AnswerResult(output, t1 - t0, t2 - t1, nll=nll, ppl=ppl)
 
 

@@ -57,20 +57,26 @@ def chunk_and_cluster(
     cfg: MemoryConfig,
     key: jax.Array,
     cluster_full_chunks: bool = True,
+    offload: bool = False,
 ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
     """Split [N, P, D] into chunk_size chunks.
 
     Returns (raw_chunks, node_features): captions are generated from the RAW
     chunk (reference passes chunked_feature_list to the captioner,
     utiles.py:539-556) while the tree node stores the clustered centroids
-    (see module docstring for the reference discrepancy)."""
+    (see module docstring for the reference discrepancy).
+
+    `offload=True` parks each raw chunk in host RAM AS IT IS CUT — the
+    device never holds the feature stack and its chunk copies at once
+    (near-clamp ~840-frame segments: the stack alone is ~3.5 GB at 7B
+    geometry, and doubling it OOMs the chip)."""
     n = features.shape[0]
     raw: List[jnp.ndarray] = []
     node: List[jnp.ndarray] = []
     keys = jax.random.split(key, max(1, (n + cfg.chunk_size - 1) // cfg.chunk_size))
     for j, i in enumerate(range(0, n, cfg.chunk_size)):
         chunk = features[i : i + cfg.chunk_size]
-        raw.append(chunk)
+        raw.append(jax.device_get(chunk) if offload else chunk)
         if (
             cluster_full_chunks
             and chunk.shape[0] >= cfg.chunk_size
@@ -117,14 +123,21 @@ def update_memory(
         features = compress_spatial_features(features, cfg.compress_rate)
     k1, k2 = jax.random.split(key)
     short = build_short_memory(features, cfg, k1)
-    raw_chunks, node_feats = chunk_and_cluster(features, cfg, k2, cluster_full_chunks)
+    # Raw chunks park in host RAM until each one's caption runs when
+    # offload_chunks is set (at chunk_size=40 / 7B geometry the chunk
+    # copies alone are ~1 GB of HBM, needed simultaneously with the
+    # 23k-token caption prefill), or automatically when the segment exceeds
+    # offload_chunks_over sampled frames (near-clamp heavy tails: the
+    # ~3.5 GB stack + its chunk copies cannot coexist on-chip). The offload
+    # happens chunk-by-chunk DURING cutting so stack + copies never
+    # coexist; each chunk rides back inside its caption's splice.
+    offload = cfg.offload_chunks or (
+        cfg.offload_chunks_over is not None
+        and features.shape[0] > cfg.offload_chunks_over
+    )
+    raw_chunks, node_feats = chunk_and_cluster(
+        features, cfg, k2, cluster_full_chunks, offload=offload)
     del features  # chunk copies + short memory carry everything needed
-    if cfg.offload_chunks:
-        # Park the raw chunks in host RAM until each one's caption runs:
-        # at chunk_size=40 / 7B geometry the chunk copies alone are ~1 GB of
-        # HBM, needed simultaneously with the 23k-token caption prefill.
-        # Each chunk rides back to the device inside its caption's splice.
-        raw_chunks = [jax.device_get(c) for c in raw_chunks]
     # Caption group-by-group and release each raw chunk as soon as its
     # caption exists — at v0.3 settings the raw chunks total ~1 GB of HBM
     # at 7B geometry, and each long caption prefill needs that room.

@@ -89,6 +89,10 @@ class StreamChatPipeline:
         # False reproduces the reference's literal dead k-means guard
         # (see pipeline/memory_update.py docstring).
         self.cluster_full_chunks = True
+        # question -> colbert embedding, warmed per video in ONE batched
+        # embed (round-5 dispatch diet: embed_query used to cost one relay
+        # round trip inside every answer's retrieval).
+        self._q_emb_cache = {}
 
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
@@ -108,7 +112,28 @@ class StreamChatPipeline:
         )
 
     def embed_query(self, question: str):
-        return self.tree_embedder.embed([question])[0]
+        emb = self._q_emb_cache.get(question)
+        if emb is None:
+            emb = self.tree_embedder.embed([question])[0]
+            if len(self._q_emb_cache) >= 4096:
+                self._q_emb_cache.pop(next(iter(self._q_emb_cache)))
+            self._q_emb_cache[question] = emb
+        return emb
+
+    def _prewarm_question_embeddings(self, breakpoints, bank: MemoryBank):
+        """Batch-embed a video's questions for BOTH embedders up front: one
+        colbert call (tree retrieval) + one MiniLM call (dialogue history)
+        instead of two relay round trips inside every answer."""
+        questions = [q["question"] for q in breakpoints if q.get("question")]
+        missing = [t for t in dict.fromkeys(questions)
+                   if t not in self._q_emb_cache]
+        if missing and self.cfg.multi_modal_memory:
+            rows = self.tree_embedder.embed(missing)
+            for t, r in zip(missing, rows):
+                if len(self._q_emb_cache) >= 4096:
+                    self._q_emb_cache.pop(next(iter(self._q_emb_cache)))
+                self._q_emb_cache[t] = r
+        bank.precompute_embeddings(questions)
 
     def process_video(
         self,
@@ -146,6 +171,8 @@ class StreamChatPipeline:
         # re-index instead of leaving it outside every phase.
         with timer.phase("store"):
             memory_index = bank.enter_name(user_name)
+        with timer.phase("qembed"):
+            self._prewarm_question_embeddings(breakpoints, bank)
         time_line = [int(q["time"]) for q in breakpoints]
         frame_line = [0] + time_line
         segments = list(zip(breakpoints, frame_line[:-1], frame_line[1:]))
@@ -229,6 +256,9 @@ class StreamChatPipeline:
             timer.totals["answer.generate"] += res.generate_time
             timer.counts["answer.retrieval"] += 1
             timer.counts["answer.generate"] += 1
+            for k, v in (res.timings or {}).items():
+                timer.totals[f"answer.{k}"] += v
+                timer.counts[f"answer.{k}"] += 1
             with timer.phase("store"):
                 memory_index = self._record_and_store(
                     results, q, end_s, res, bank, user_name, save_file
@@ -321,6 +351,7 @@ class StreamChatPipeline:
             self._next_key(), self.cluster_full_chunks,
         )
         memory_index = bank.enter_name(user_name)
+        self._prewarm_question_embeddings(breakpoints, bank)
         results = []
         time_line = [int(q["time"]) for q in breakpoints]
         frame_line = [0] + time_line
