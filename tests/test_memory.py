@@ -221,6 +221,38 @@ class TestMemoryBank:
         assert "Conversation content on 2026-01-01" not in date_docs[0]
         assert "2026-01-01" in dates
 
+    def test_reindex_embeds_only_new_docs(self, tmp_path):
+        """Round-5 dispatch diet: each per-round index rebuild embeds only
+        the turn just written (reference re-embeds every doc per rebuild,
+        memory_utils.py:76-83); query embeds ride the same cache; results
+        match the uncached path."""
+        calls = []
+
+        def counting_embed(texts):
+            calls.append(list(texts))
+            return hash_embed(texts)
+
+        bank = MemoryBank(str(tmp_path / "m.json"), counting_embed, top_k=1)
+        user = "u"
+        bank.enter_name(user)
+        bank.save_local_memory(user, "where is the dog", "door", date="2026-01-01")
+        idx = bank.enter_name(user)
+        n_first = sum(len(c) for c in calls)
+        assert n_first == len(idx)                      # first build: all docs
+        bank.save_local_memory(user, "what about the cat", "sofa", date="2026-01-01")
+        idx = bank.enter_name(user)
+        new_texts = [t for c in calls[1:] for t in c]
+        assert sum(len(c) for c in calls) == n_first + 1   # only the new turn
+        assert any("cat" in t for t in new_texts)
+        # pre-warmed query: search embeds nothing further
+        bank.precompute_embeddings(["where is the dog"])
+        n_before = sum(len(c) for c in calls)
+        date_docs, dates = idx.search_memory("where is the dog")
+        assert sum(len(c) for c in calls) == n_before
+        # parity with a cache-free index
+        idx_ref = MemoryIndex(idx.docs, hash_embed, idx.chunk_size, idx.top_k)
+        assert (date_docs, dates) == idx_ref.search_memory("where is the dog")
+
     def test_neighbor_stitching_same_date(self, tmp_path):
         """Adjacent same-date turns within the 200-char budget merge into one
         stitched result (local_doc_qa.py:135-178)."""
