@@ -48,6 +48,7 @@ def main():
     k1, k2 = jax.random.split(jax.random.key(0))
     vit_p = vit.init(k1, vit_cfg, jnp.bfloat16)
     proj_p = projector.init(k2, vit_cfg.hidden_size, dec_hidden, jnp.bfloat16)
+    vit_p = vit.fold_params(vit_p, vit_cfg)   # production fused-path fold
 
     @jax.jit
     def ingest(vit_p, proj_p, pixels):

@@ -91,7 +91,7 @@ def _attn_mlp_body(x32, refs, opt):
     for hd in range(nh):
         q = qkv[:, hd * dh:(hd + 1) * dh]
         if not opt["wfold"]:
-            q = q * dt.type(dh ** -0.5)
+            q = q * dt(dh ** -0.5)
         k = qkv[:, d + hd * dh:d + (hd + 1) * dh]
         v = qkv[:, 2 * d + hd * dh:2 * d + (hd + 1) * dh]
         if opt["bf16s"]:
@@ -99,7 +99,7 @@ def _attn_mlp_body(x32, refs, opt):
             s_qk = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.bfloat16)
-            pd = jnp.exp(jnp.minimum(s_qk, dt.type(80.0)))
+            pd = jnp.exp(jnp.minimum(s_qk, dt(80.0)))
         else:
             s_qk = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),

@@ -72,6 +72,60 @@ def _block(x: jnp.ndarray, p: Params, cfg: ViTConfig) -> jnp.ndarray:
     return x + (h @ p["mlp"]["fc2"]["w"] + p["mlp"]["fc2"]["b"])
 
 
+def _fold_layer(p: Params, cfg: ViTConfig):
+    """QKV concat + LN/q-scale fold for one layer (fused kernel operands)."""
+    from streamchat_tpu.ops.fused_vit import fold_vit_layer_params
+
+    wqkv = jnp.concatenate(
+        [p["attn"]["q"]["w"], p["attn"]["k"]["w"], p["attn"]["v"]["w"]], axis=1
+    )
+    bqkv = jnp.concatenate(
+        [p["attn"]["q"]["b"], p["attn"]["k"]["b"], p["attn"]["v"]["b"]]
+    )
+    return fold_vit_layer_params(
+        p["ln1"]["scale"], p["ln1"]["bias"], wqkv, bqkv,
+        p["ln2"]["scale"], p["ln2"]["bias"],
+        p["mlp"]["fc1"]["w"], p["mlp"]["fc1"]["b"],
+        num_heads=cfg.num_heads,
+    )
+
+
+def fold_params(params: Params, cfg: ViTConfig) -> Params:
+    """Attach pre-folded fused-kernel projections to every layer.
+
+    The fused path needs the QKV concat + LN-affine/q-scale fold of each
+    layer's projections (`ops.fused_vit.fold_vit_layer_params`); tracing
+    that fold into every forward call costs ~24 ms at ViT-L batch 128
+    (~6% ingest). This does it ONCE, storing the result under a per-layer
+    "fused" key (~350 MB bf16 at ViT-L). The original HF-layout leaves are
+    kept: weights save/load, sharding pspecs, the unfused path, and
+    `attention_logit_bounds` are unaffected, and `_block_fused` falls back
+    to the in-trace fold whenever the key is absent. Idempotent.
+
+    Runs as one jitted program — eager per-layer folds would pay the
+    ~50-90 ms relay dispatch per op (CLAUDE.md environment notes).
+    """
+    if all("fused" in p for p in params["layers"]):
+        return params
+    folded = _fold_all_layers(params, cfg)
+    layers = []
+    for p, f in zip(params["layers"], folded):
+        q = dict(p)
+        q.setdefault("fused", f)
+        layers.append(q)
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _fold_all_layers(params: Params, cfg: ViTConfig):
+    return [
+        dict(zip(("wqkv", "bqkv", "w1", "b1"), _fold_layer(p, cfg)))
+        for p in params["layers"]
+    ]
+
+
 def _block_fused(x: jnp.ndarray, p: Params, cfg: ViTConfig, interpret: bool,
                  softmax_mode: str = "clamp") -> jnp.ndarray:
     """The same block via the fused Pallas layer-half kernels (ops/fused_vit).
@@ -82,28 +136,45 @@ def _block_fused(x: jnp.ndarray, p: Params, cfg: ViTConfig, interpret: bool,
     kernels absorb LN/softmax/transposes into VMEM-resident passes:
     attention half 18.1 -> 10.8 ms/layer measured on the v5e chip.
 
-    The per-layer QKV concat is traced once per call (23 x 6.3 MB copies,
-    ~0.05 ms/frame at batch 128) — kept here so the param tree stays
-    identical to the HF layout for weights loading and sharding.
+    The per-layer QKV concat + LN fold is traced once per call (23 x 6.3 MB
+    copies + two [D, ...] row scalings, ~0.05 ms/frame at batch 128) — kept
+    here so the param tree stays identical to the HF layout for weights
+    loading and sharding.
+
+    Round-5 variant sweep (scripts/probe_vit_variants.py): the layer runs
+    FOLDED — LN affines + q scale absorbed into wqkv/fc1, one-pass LN
+    statistics, frame_tile=4 via an in-kernel fori_loop — 12.57 ms/layer vs
+    13.9 for the round-4 kernel (the unfolded form remains reachable via
+    fused_vit_layer directly; numerics of both are pinned against the XLA
+    block in tests/test_fused_vit.py).
     """
     from streamchat_tpu.ops.fused_vit import fused_vit_layer
 
     n = x.shape[0]
-    wqkv = jnp.concatenate(
-        [p["attn"]["q"]["w"], p["attn"]["k"]["w"], p["attn"]["v"]["w"]], axis=1
-    )
-    bqkv = jnp.concatenate(
-        [p["attn"]["q"]["b"], p["attn"]["k"]["b"], p["attn"]["v"]["b"]]
-    )
+    fused = p.get("fused")
+    if fused is not None:
+        # Pre-folded once at load time (`fold_params`) — the in-trace fold
+        # below costs ~24 ms per batch-128 forward (392 vs ~414 f/s).
+        wqkv, bqkv = fused["wqkv"], fused["bqkv"]
+        w1, b1 = fused["w1"], fused["b1"]
+    else:
+        wqkv, bqkv, w1, b1 = _fold_layer(p, cfg)
+    if n % 4 == 0:
+        frame_tile = 4
+    elif n % 2 == 0:
+        frame_tile = 2
+    else:
+        frame_tile = 1
     return fused_vit_layer(
         x, p["ln1"]["scale"], p["ln1"]["bias"], wqkv, bqkv,
         p["attn"]["o"]["w"], p["attn"]["o"]["b"],
         p["ln2"]["scale"], p["ln2"]["bias"],
-        p["mlp"]["fc1"]["w"], p["mlp"]["fc1"]["b"],
+        w1, b1,
         p["mlp"]["fc2"]["w"], p["mlp"]["fc2"]["b"],
         num_heads=cfg.num_heads, eps=cfg.layernorm_eps,
         activation="quick_gelu",
-        frame_tile=2 if n % 2 == 0 else 1, softmax_mode=softmax_mode,
+        frame_tile=frame_tile, softmax_mode=softmax_mode,
+        folded=True, ln_onepass=True,
         interpret=interpret,
     )
 

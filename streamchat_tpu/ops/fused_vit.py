@@ -29,6 +29,7 @@ bf16 x bf16 with f32 accumulation, activations stored bf16.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -36,14 +37,81 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _VMEM_LIMIT = 120 * 1024 * 1024
+_LOG2E = math.log2(math.e)
 
 
-def _ln_f32(x32, scale, bias, eps):
-    """LayerNorm over the last axis; input/output f32, params any dtype."""
+def _ln_f32(x32, scale, bias, eps, *, onepass=False):
+    """LayerNorm over the last axis; input/output f32, params any dtype.
+
+    `onepass` computes the statistics from one read (E[x], E[x^2]) instead
+    of mean + centered variance — one fewer VPU pass over the tile. The
+    var = E[x^2] - E[x]^2 form loses f32 bits when mean^2 >> var; the
+    cancellation error is ~1e-7 * mean^2/var relative, i.e. below bf16
+    output resolution (4e-3) for mean/std ratios up to ~100 — far beyond
+    trained-ViT residual statistics (tests/test_fused_vit.py pins the
+    ratio-100 case against the two-pass oracle).
+
+    `scale=None` skips the affine (used when the caller folded g/b into the
+    following matmul — see `fold_vit_layer_params`).
+    """
     mu = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    if onepass:
+        var = jnp.mean(x32 * x32, axis=-1, keepdims=True) - mu * mu
+    else:
+        var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
     y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    if scale is None:
+        return y
     return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+
+
+def fold_vit_attn_params(ln_scale, ln_bias, wqkv, bqkv, *, num_heads: int):
+    """Fold the pre-attention LN affine and q pre-scale into wqkv/bqkv.
+
+    For LN output y = n*g + c followed by y@W + b, the affine commutes into
+    the matmul: y@W + b = n@(g*W) + (c@W + b). The q column block of wqkv
+    additionally absorbs dh^-0.5 * log2(e), so the kernel's softmax can run
+    exp2 directly on the scores (exp(s) == exp2(s * log2e)).
+
+    Folding runs in f32 and rounds back to the input dtype — the same
+    rounding the unfolded kernel pays when it casts the LN output to bf16.
+    Returns (wqkv', bqkv') for `fused_ln_attn(..., folded=True)` (which
+    then ignores the ln scale/bias operands).
+    """
+    f32 = jnp.float32
+    d = wqkv.shape[0]
+    dh = d // num_heads
+    w = wqkv.astype(f32)
+    b = bqkv.astype(f32) + ln_bias.astype(f32) @ w
+    w = w * ln_scale.astype(f32)[:, None]
+    qscale = (dh ** -0.5) * _LOG2E
+    w = w.at[:, :d].multiply(qscale)
+    b = b.at[:d].multiply(qscale)
+    return w.astype(wqkv.dtype), b.astype(bqkv.dtype)
+
+
+def fold_vit_layer_params(
+    ln1_scale, ln1_bias, wqkv, bqkv, ln2_scale, ln2_bias, w1, b1,
+    *, num_heads: int,
+):
+    """Fold both LN affines and the q pre-scale into the projection weights.
+
+    The attention half is `fold_vit_attn_params`; the MLP half commutes the
+    LN2 affine into fc1 the same way. Together this removes two full-width
+    VPU affine passes and the [S, dh] q-scale pass from the kernel
+    (round-5 variant sweep, scripts/probe_vit_variants.py: 13.9 ->
+    12.6 ms/layer with ln_onepass + frame_tile=4).
+
+    Returns (wqkv', bqkv', w1', b1'); pass them to `fused_vit_layer` with
+    `folded=True` (which ignores the ln*_scale/bias operands).
+    """
+    f32 = jnp.float32
+    w, b = fold_vit_attn_params(
+        ln1_scale, ln1_bias, wqkv, bqkv, num_heads=num_heads)
+    w1f = w1.astype(f32)
+    b1f = b1.astype(f32) + ln2_bias.astype(f32) @ w1f
+    w1f = w1f * ln2_scale.astype(f32)[:, None]
+    return w, b, w1f.astype(w1.dtype), b1f.astype(b1.dtype)
 
 
 def _erf(x):
@@ -144,42 +212,49 @@ def fused_ln_mlp(
 
 
 def _attn_body(x32, s_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
-               *, num_heads, eps, dtype, softmax_mode="clamp"):
+               *, num_heads, eps, dtype, softmax_mode="clamp", folded=False,
+               ln_onepass=False):
     """f32 [S, D] -> f32 [S, D]: x + O(attention(QKV(LN(x))))."""
     d = x32.shape[-1]
     dh = d // num_heads
-    scale = dh ** -0.5
-    h = _ln_f32(x32, s_ref[:], b_ref[:], eps).astype(dtype)
+    if folded:
+        # LN affine + dh^-0.5*log2e live in wqkv/bqkv (fold_vit_layer_params)
+        h = _ln_f32(x32, None, None, eps, onepass=ln_onepass).astype(dtype)
+    else:
+        h = _ln_f32(x32, s_ref[:], b_ref[:], eps,
+                    onepass=ln_onepass).astype(dtype)
     qkv = jnp.dot(h, wqkv_ref[:], preferred_element_type=jnp.float32)
     qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(dtype)
     ones_col = jnp.ones((x32.shape[0], 1), dtype)
     heads_out = []
     for hd in range(num_heads):  # static slices keep layouts trivial
-        # Pre-scaling q touches [S, dh] instead of the [S, S] score tile
-        # (scale = dh^-0.5 is a power of two for dh=64, so exact in bf16).
-        q = qkv[:, hd * dh:(hd + 1) * dh] * dtype.type(scale)
+        q = qkv[:, hd * dh:(hd + 1) * dh]
+        if not folded:
+            # Pre-scaling q touches [S, dh] instead of the [S, S] score tile
+            # (scale = dh^-0.5 is a power of two for dh=64, so exact in bf16).
+            q = q * dtype.type(dh ** -0.5)
         k = qkv[:, d + hd * dh:d + (hd + 1) * dh]
         v = qkv[:, 2 * d + hd * dh:2 * d + (hd + 1) * dh]
         s_qk = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                                         # [S, S] f32
+        )                                # [S, S] f32 (log2-units when folded)
         # Manual softmax, engineered for VPU passes over the [S, S] tile —
         # the in-kernel VPU work between the MXU dots is this kernel's
         # measured roofline gap (round-4 ingest probe). Two modes:
         #
-        # * "clamp" (default, benched 378.58 f/s): ONE fused elementwise
-        #   pass (clamp+exp+cast) where scale + jax.nn.softmax + cast was
-        #   ~6. The usual running-max subtraction exists only to keep
-        #   exp() in range; the 80.0 clamp gives the same OVERFLOW safety
-        #   without the [S, S] max-reduce pass, and unnormalized exp has
-        #   identical RELATIVE float precision to the max-subtracted form
-        #   (softmax is a ratio). Its exactness domain is row max logit in
-        #   (-87, 80]: above 80 logits flatten to equal weight; a row
-        #   whose max sits below ~-87 underflows entirely and the 1e-30
-        #   denominator guard returns ~0 instead of the softmax average
-        #   (no NaN either way). Both edges are pinned by adversarial
-        #   tests (tests/test_fused_vit.py::TestSoftmaxModes). LN-bounded
+        # * "clamp" (default): ONE fused elementwise pass (clamp+exp+cast)
+        #   where scale + jax.nn.softmax + cast was ~6. The usual running-
+        #   max subtraction exists only to keep exp() in range; the 80.0
+        #   clamp gives the same OVERFLOW safety without the [S, S]
+        #   max-reduce pass, and unnormalized exp has identical RELATIVE
+        #   float precision to the max-subtracted form (softmax is a
+        #   ratio). Its exactness domain is row max logit in (-87, 80]:
+        #   above 80 logits flatten to equal weight; a row whose max sits
+        #   below ~-87 underflows entirely and the 1e-30 denominator guard
+        #   returns ~0 instead of the softmax average (no NaN either way).
+        #   Both edges are pinned by adversarial tests
+        #   (tests/test_fused_vit.py::TestSoftmaxModes). LN-bounded
         #   trained-ViT logits are expected well inside the domain —
         #   VALIDATE per real checkpoint with
         #   models.vit.attention_logit_bounds before shipping this mode.
@@ -188,13 +263,18 @@ def _attn_body(x32, s_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
         #   368 vs 378 f/s). The fallback when a checkpoint's logit probe
         #   lands outside the clamp domain.
         #
-        # In both modes the denominator rides the p·v MXU dot as a ones
-        # column (dh=64 output tiles pad to 128 lanes anyway, so it is
-        # free), and normalization lands AFTER the dot on the [S, dh]
-        # output (9x fewer elements than dividing p).
+        # When `folded`, scores arrive in log2 units and the exp runs as a
+        # bare exp2 (the clamp moves to 80*log2e; exp2(s*log2e) == exp(s),
+        # so the domain in NATURAL logit units is unchanged). In both modes
+        # the denominator rides the p·v MXU dot as a ones column (dh=64
+        # output tiles pad to 128 lanes anyway, so it is free), and
+        # normalization lands AFTER the dot on the [S, dh] output (9x fewer
+        # elements than dividing p).
         if softmax_mode == "exact":
             m = jnp.max(s_qk, axis=-1, keepdims=True)             # [S, 1]
-            p = jnp.exp(s_qk - m)                                 # [S, S] f32
+            p = jnp.exp2(s_qk - m) if folded else jnp.exp(s_qk - m)
+        elif folded:
+            p = jnp.exp2(jnp.minimum(s_qk, 80.0 * _LOG2E))        # [S, S] f32
         else:
             p = jnp.exp(jnp.minimum(s_qk, 80.0))                  # [S, S] f32
         ol = jnp.dot(
@@ -208,33 +288,60 @@ def _attn_body(x32, s_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     return out + bo_ref[:].astype(jnp.float32) + x32
 
 
+def _frame_loop(frame_tile, body):
+    """Run `body(f)` for f in [0, frame_tile).
+
+    frame_tile <= 2 unrolls in Python (trivial code size). Larger tiles use
+    an in-kernel fori_loop: a 4-frame UNROLLED body stalled Mosaic compiles
+    indefinitely (PARITY "frame-tile autotune", 2/2 hangs) while the rolled
+    loop compiles fine and measures fastest (round-5 variant sweep: combo4
+    12.57 ms/layer vs 12.92 at frame_tile=2).
+    """
+    if frame_tile > 2:
+        jax.lax.fori_loop(0, frame_tile, lambda f, c: (body(f), c)[1], 0)
+    else:
+        for f in range(frame_tile):
+            body(f)
+
+
 def _attn_kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, o_ref,
-                 *, num_heads, eps, frame_tile, softmax_mode):
-    for f in range(frame_tile):  # static unroll; frame_tile is small
+                 *, num_heads, eps, frame_tile, softmax_mode, folded,
+                 ln_onepass):
+    def body(f):
         out = _attn_body(
             x_ref[f].astype(jnp.float32), s_ref, b_ref, wqkv_ref, bqkv_ref,
             wo_ref, bo_ref, num_heads=num_heads, eps=eps, dtype=x_ref.dtype,
-            softmax_mode=softmax_mode,
+            softmax_mode=softmax_mode, folded=folded, ln_onepass=ln_onepass,
         )
         o_ref[f] = out.astype(o_ref.dtype)
+
+    _frame_loop(frame_tile, body)
 
 
 def _layer_kernel(x_ref, s1_ref, b1l_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
                   s2_ref, b2l_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
-                  *, num_heads, eps, activation, frame_tile, softmax_mode):
+                  *, num_heads, eps, activation, frame_tile, softmax_mode,
+                  folded, ln_onepass):
     dt = x_ref.dtype
-    for f in range(frame_tile):
+
+    def body(f):
         mid_x = _attn_body(
             x_ref[f].astype(jnp.float32), s1_ref, b1l_ref, wqkv_ref, bqkv_ref,
             wo_ref, bo_ref, num_heads=num_heads, eps=eps, dtype=dt,
-            softmax_mode=softmax_mode,
+            softmax_mode=softmax_mode, folded=folded, ln_onepass=ln_onepass,
         )                                                         # [S, D] f32
-        h = _ln_f32(mid_x, s2_ref[:], b2l_ref[:], eps).astype(dt)
+        if folded:
+            h = _ln_f32(mid_x, None, None, eps, onepass=ln_onepass).astype(dt)
+        else:
+            h = _ln_f32(mid_x, s2_ref[:], b2l_ref[:], eps,
+                        onepass=ln_onepass).astype(dt)
         mid = jnp.dot(h, w1_ref[:], preferred_element_type=jnp.float32)
         mid = _activate(mid + b1_ref[:].astype(jnp.float32), activation)
         out = jnp.dot(mid.astype(dt), w2_ref[:], preferred_element_type=jnp.float32)
         out = out + b2_ref[:].astype(jnp.float32) + mid_x
         o_ref[f] = out.astype(o_ref.dtype)
+
+    _frame_loop(frame_tile, body)
 
 
 def _check_softmax_mode(softmax_mode):
@@ -246,7 +353,7 @@ def _check_softmax_mode(softmax_mode):
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "eps", "activation", "frame_tile",
-                     "softmax_mode", "interpret"),
+                     "softmax_mode", "folded", "ln_onepass", "interpret"),
 )
 def fused_vit_layer(
     x: jnp.ndarray,
@@ -268,6 +375,8 @@ def fused_vit_layer(
     activation: str = "quick_gelu",
     frame_tile: int = 2,
     softmax_mode: str = "clamp",
+    folded: bool = False,
+    ln_onepass: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """One full pre-LN transformer block, VMEM-resident per frame tile.
@@ -278,6 +387,12 @@ def fused_vit_layer(
     everything else — LN statistics, q/k/v, scores, softmax, the MLP
     intermediate — lives in VMEM. All weights (~25 MB bf16 at ViT-L) stay
     resident across grid steps.
+
+    `folded=True` expects wqkv/bqkv/w1/b1 pre-folded by
+    `fold_vit_layer_params` (LN affines + q scale absorbed; the ln*_scale/
+    bias operands are then ignored) and runs the softmax as a bare exp2 —
+    the round-5 production configuration together with `ln_onepass=True`
+    and frame_tile=4 (12.57 ms/layer vs 13.9 unfolded at ViT-L batch 128).
     """
     n, s, d = x.shape
     if n % frame_tile:
@@ -286,7 +401,8 @@ def fused_vit_layer(
     grid = (n // frame_tile,)
     kernel = functools.partial(
         _layer_kernel, num_heads=num_heads, eps=eps, activation=activation,
-        frame_tile=frame_tile, softmax_mode=softmax_mode,
+        frame_tile=frame_tile, softmax_mode=softmax_mode, folded=folded,
+        ln_onepass=ln_onepass,
     )
     dmid = w1.shape[1]
     vec = lambda i: (0,)
@@ -321,7 +437,7 @@ def fused_vit_layer(
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "eps", "frame_tile", "softmax_mode",
-                     "interpret"),
+                     "folded", "ln_onepass", "interpret"),
 )
 def fused_ln_attn(
     x: jnp.ndarray,
@@ -336,13 +452,16 @@ def fused_ln_attn(
     eps: float = 1e-5,
     frame_tile: int = 1,
     softmax_mode: str = "clamp",
+    folded: bool = False,
+    ln_onepass: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """out = x + O(attention(QKV(LN(x)))) for non-causal ViT attention.
 
     `x` is [N, S, D]; `wqkv` is the merged [D, 3D] projection (q|k|v column
     blocks). N must be a multiple of `frame_tile`. Full S x S scores fit in
-    VMEM at ViT lengths (S=577 -> 1.3 MB f32 per head).
+    VMEM at ViT lengths (S=577 -> 1.3 MB f32 per head). `folded` as in
+    `fused_vit_layer` (here only the qkv-side fold applies).
     """
     n, s, d = x.shape
     if n % frame_tile:
@@ -351,7 +470,7 @@ def fused_ln_attn(
     grid = (n // frame_tile,)
     kernel = functools.partial(
         _attn_kernel, num_heads=num_heads, eps=eps, frame_tile=frame_tile,
-        softmax_mode=softmax_mode,
+        softmax_mode=softmax_mode, folded=folded, ln_onepass=ln_onepass,
     )
     vec = lambda i: (0,)
     return pl.pallas_call(

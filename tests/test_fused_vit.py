@@ -14,6 +14,8 @@ from streamchat_tpu.config import ViTConfig
 from streamchat_tpu.models import vit
 from streamchat_tpu.ops.fused_vit import (
     _erf,
+    fold_vit_attn_params,
+    fold_vit_layer_params,
     fused_ln_attn,
     fused_ln_mlp,
     fused_vit_layer,
@@ -50,6 +52,64 @@ def test_fused_layer_matches_block(setup):
         frame_tile=2, interpret=True,
     )
     assert _rel_err(out, ref) < 2e-5
+
+
+@pytest.mark.parametrize("mode", ["clamp", "exact"])
+def test_fused_layer_folded_matches_block(setup, mode):
+    """The round-5 production configuration: LN affines + q scale folded
+    into the projections, one-pass LN statistics, frame_tile=4 (in-kernel
+    fori_loop), exp2 softmax — numerics must still match the XLA block."""
+    cfg, params, x = setup
+    lp = params["layers"][0]
+    wqkv = jnp.concatenate([lp["attn"][k]["w"] for k in ("q", "k", "v")], axis=1)
+    bqkv = jnp.concatenate([lp["attn"][k]["b"] for k in ("q", "k", "v")])
+    wqkv, bqkv, w1, b1 = fold_vit_layer_params(
+        lp["ln1"]["scale"], lp["ln1"]["bias"], wqkv, bqkv,
+        lp["ln2"]["scale"], lp["ln2"]["bias"],
+        lp["mlp"]["fc1"]["w"], lp["mlp"]["fc1"]["b"],
+        num_heads=cfg.num_heads,
+    )
+    ref = vit._block(x, lp, cfg)
+    out = fused_vit_layer(
+        x, lp["ln1"]["scale"], lp["ln1"]["bias"], wqkv, bqkv,
+        lp["attn"]["o"]["w"], lp["attn"]["o"]["b"],
+        lp["ln2"]["scale"], lp["ln2"]["bias"],
+        w1, b1, lp["mlp"]["fc2"]["w"], lp["mlp"]["fc2"]["b"],
+        num_heads=cfg.num_heads, eps=cfg.layernorm_eps,
+        frame_tile=4, softmax_mode=mode, folded=True, ln_onepass=True,
+        interpret=True,
+    )
+    assert _rel_err(out, ref) < 2e-5
+
+
+def test_onepass_ln_large_mean_to_std_ratio(setup):
+    """One-pass LN (var = E[x^2] - E[x]^2) loses ~1e-7 * (mean/std)^2
+    relative f32 bits to cancellation. Pin the documented domain: at
+    mean/std = 100 the folded path still matches the two-pass XLA block to
+    well under bf16 resolution (4e-3)."""
+    cfg, params, _ = setup
+    lp = params["layers"][0]
+    x = 100.0 + 1.0 * jax.random.normal(
+        jax.random.key(11), (4, cfg.num_patches + 1, cfg.hidden_size),
+        jnp.float32)
+    wqkv = jnp.concatenate([lp["attn"][k]["w"] for k in ("q", "k", "v")], axis=1)
+    bqkv = jnp.concatenate([lp["attn"][k]["b"] for k in ("q", "k", "v")])
+    fw, fb, w1, b1 = fold_vit_layer_params(
+        lp["ln1"]["scale"], lp["ln1"]["bias"], wqkv, bqkv,
+        lp["ln2"]["scale"], lp["ln2"]["bias"],
+        lp["mlp"]["fc1"]["w"], lp["mlp"]["fc1"]["b"],
+        num_heads=cfg.num_heads,
+    )
+    ref = vit._block(x, lp, cfg)
+    out = fused_vit_layer(
+        x, lp["ln1"]["scale"], lp["ln1"]["bias"], fw, fb,
+        lp["attn"]["o"]["w"], lp["attn"]["o"]["b"],
+        lp["ln2"]["scale"], lp["ln2"]["bias"],
+        w1, b1, lp["mlp"]["fc2"]["w"], lp["mlp"]["fc2"]["b"],
+        num_heads=cfg.num_heads, eps=cfg.layernorm_eps,
+        frame_tile=4, folded=True, ln_onepass=True, interpret=True,
+    )
+    assert _rel_err(out, ref) < 1e-3
 
 
 def test_fused_halves_match_block(setup):
@@ -232,6 +292,29 @@ class TestSoftmaxModes:
             v.mean(axis=1, keepdims=True), v.shape) @ w[2] + w[3]
         assert _rel_err(out, uni) < 2e-5
         assert _rel_err(out, self._oracle(x, *w)) > 1e-3
+
+    def test_folded_preserves_clamp_domain(self):
+        """Folded scores arrive in log2 units with the clamp at 80*log2e —
+        in NATURAL logit units the exactness domain must be unchanged.
+        Check all three regimes against the unfolded kernel: in-domain,
+        above the clamp (uniform flatten), and below the underflow floor
+        (zero-attention degradation)."""
+        x = self._x()
+        d = self.D
+        for center, mode in [(-50.0, "clamp"), (0.0, "clamp"), (50.0, "clamp"),
+                             (140.0, "clamp"), (-200.0, "clamp"),
+                             (95.0, "exact"), (-110.0, "exact")]:
+            w = self._weights(center, 8.0)
+            fw, fb = fold_vit_attn_params(
+                jnp.ones((d,)), jnp.zeros((d,)), w[0], w[1],
+                num_heads=self.HEADS)
+            out = fused_ln_attn(
+                x, jnp.ones((d,)), jnp.zeros((d,)), fw, fb, w[2], w[3],
+                num_heads=self.HEADS, softmax_mode=mode, folded=True,
+                ln_onepass=True, interpret=True)
+            ref = self._run(mode, x, w)
+            assert bool(jnp.all(jnp.isfinite(out))), (center, mode)
+            assert _rel_err(out, ref) < 2e-5, (center, mode)
 
     def test_bad_mode_raises(self):
         x = self._x()
