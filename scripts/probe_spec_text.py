@@ -39,8 +39,14 @@ import json
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+# Force the CPU backend. Setting env here is TOO LATE for the axon
+# sitecustomize (it captures PALLAS_AXON_POOL_IPS at interpreter start and
+# force-registers the TPU backend — verified: the in-script pop still lands
+# on `tpu`), so re-exec once with a scrubbed environment.
+if os.environ.get("_SPEC_TEXT_CPU") != "1":
+    env = dict(os.environ, JAX_PLATFORMS="cpu", _SPEC_TEXT_CPU="1")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
