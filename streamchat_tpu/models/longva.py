@@ -20,6 +20,7 @@ prefill+decode-loop program runs per (bucket, max_new_tokens) signature.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -190,10 +191,14 @@ class LongVA:
     def encode_images(self, pixels: jnp.ndarray) -> jnp.ndarray:
         """[N, 3, H, W] -> [N, P, lm_hidden] (tower -> projector; resampler
         is identity for LongVA)."""
-        if vit._use_fused(None) and "fused" not in self.vit_params["layers"][0]:
+        if (vit._use_fused(None)
+                and not os.environ.get("SC_NO_VIT_FOLD")
+                and "fused" not in self.vit_params["layers"][0]):
             # One-time fold for the fused Pallas path (vit.fold_params) —
             # the in-trace per-call fold costs ~6% ingest. Lazy so CPU /
-            # multi-device constructions never pay the ~350 MB HBM.
+            # multi-device constructions never pay the ~350 MB HBM;
+            # SC_NO_VIT_FOLD=1 opts memory-tight servings out (the fused
+            # path then folds in-trace — correct either way).
             self.vit_params = vit.fold_params(self.vit_params, self.vit_cfg)
         feats = vit.encode(self.vit_params, pixels, self.vit_cfg)
         return projector.apply(self.proj_params, feats)
