@@ -440,6 +440,8 @@ def stage1_pipeline(report, args):
     warm_videos = []
     warm_wall_total, warm_q_total = 0.0, 0
     agg_totals, agg_counts = {}, {}
+    from streamchat_tpu.pipeline import memory_update as mu
+
     for vi, seg_secs in enumerate(plan):
         log(f"stage 1 (warm {vi}): video with {seg_secs}s segments ...")
         cap_lo = len(state["durations"])
@@ -447,6 +449,7 @@ def stage1_pipeline(report, args):
         if os.path.exists(bank_path):
             os.remove(bank_path)
         try:
+            mu.reset_offload_stats()
             bank_w = MemoryBank(bank_path, lambda t: bank_emb.embed(t))
             t0 = time.time()
             results_w = pipe.process_video(
@@ -475,6 +478,18 @@ def stage1_pipeline(report, args):
                 round(d, 2) for d in state["durations"][cap_lo:]
             ],
         }
+        # Measured chunk-offload transport (heavy segments only): the
+        # seconds these relay transfers cost, and the bytes moved — the
+        # host-attached projections substitute PCIe-rate transport for
+        # exactly these measured seconds (see compute_projections).
+        ostats = mu.reset_offload_stats()
+        if ostats["chunks"]:
+            rec["offload"] = {
+                "chunks": ostats["chunks"],
+                "h2d_s": round(ostats["h2d_s"], 2),
+                "d2h_s": round(ostats["d2h_s"], 2),
+                "bytes": int(ostats["bytes"]),
+            }
         warm_videos.append(rec)
         warm_wall_total += wall_w
         warm_q_total += len(results_w)
@@ -907,16 +922,53 @@ def compute_projections(report):
             "history": 1.0, "store": 1.0, "qembed": 1.0,
             "answer.retrieval": 1.0, "answer.generate": 7.0,
         }
-        mem_other = max(
-            0.0, warm.get("memory_update", 0.0) - warm.get("caption", 0.0)
-            - warm.get("summarize", 0.0)
-        )
-        ans_other = max(
-            0.0, warm.get("answer", 0.0) - warm.get("answer.retrieval", 0.0)
-            - warm.get("answer.generate", 0.0)
-        )
         top_level = ["ingest", "dedup", "caption", "summarize", "history",
                      "store", "qembed", "answer.retrieval", "answer.generate"]
+
+        # ---- measured chunk-offload transport (heavy segments) ----------
+        # Near-clamp segments (>512 sampled frames) park raw caption chunks
+        # in host RAM; through this tunneled relay that transport is
+        # MEASURED at ~6.4 s H2D + ~8-10 s D2H per 165 MB chunk (~25/2
+        # MB/s) and dominates heavy-video wall. A host-attached v5p moves
+        # the same bytes over PCIe/DMA at >= 8 GB/s. Host-attached variants
+        # therefore substitute byte-accurate PCIe seconds for exactly the
+        # measured relay seconds (per-video `offload` records) — the
+        # one_v5e/flat5x numbers keep the full relay cost.
+        videos = report.get("stage1_warm_videos") or []
+        steady_videos = list(
+            {tuple(v["segments_s"]): v for v in videos}.values())
+        PCIE_BPS = 8e9
+        off_h2d = sum(v["offload"]["h2d_s"] for v in steady_videos
+                      if v.get("offload"))
+        off_d2h = sum(v["offload"]["d2h_s"] for v in steady_videos
+                      if v.get("offload"))
+        off_bytes = sum(v["offload"]["bytes"] for v in steady_videos
+                        if v.get("offload"))
+        pcie_s = off_bytes / PCIE_BPS
+        if off_bytes:
+            report["projection"]["offload_transport"] = {
+                "relay_h2d_s": round(off_h2d, 1),
+                "relay_d2h_s": round(off_d2h, 1),
+                "bytes": int(off_bytes),
+                "hostattached_s_at_8GBps": round(pcie_s, 2),
+            }
+
+        def _sums(w, h2d=0.0, d2h=0.0):
+            """(phases, mem_other, ans_other) with transport stripped."""
+            a = dict(w)
+            a["caption"] = max(0.0, a.get("caption", 0.0) - h2d)
+            a["memory_update"] = max(
+                0.0, a.get("memory_update", 0.0) - h2d - d2h)
+            mo = max(0.0, a.get("memory_update", 0.0)
+                     - a.get("caption", 0.0) - a.get("summarize", 0.0))
+            ao = max(0.0, a.get("answer", 0.0)
+                     - a.get("answer.retrieval", 0.0)
+                     - a.get("answer.generate", 0.0))
+            return a, mo, ao
+
+        _, mem_other, ans_other = _sums(warm)
+        warm_adj, mem_other_adj, ans_other_adj = _sums(warm, off_h2d, off_d2h)
+
         proj = sum(warm.get(p, 0.0) / factors[p] for p in top_level)
         proj += mem_other / 4.0 + ans_other / 1.0
         wall = report.get("stage1_warm_wall_s", 0.0)
@@ -940,11 +992,11 @@ def compute_projections(report):
         # ~0.5 s/call of their totals) moved from 2x to 10x.
         host_phases = ["history", "store", "qembed", "answer.retrieval"]
         proj_host = sum(
-            warm.get(p, 0.0) / (10.0 if p in host_phases else factors[p])
+            warm_adj.get(p, 0.0) / (10.0 if p in host_phases else factors[p])
             for p in top_level
         )
-        proj_host += mem_other / 4.0 + ans_other / 10.0
-        proj_host += max(0.0, wall - attributed) / 10.0
+        proj_host += mem_other_adj / 4.0 + ans_other_adj / 10.0
+        proj_host += max(0.0, wall - attributed) / 10.0 + pcie_s
         proj_host += nq * (judge_row / 7.0 + stage3_row / 10.0)
         report["projection"]["v5p8_hours_hostattached"] = round(
             proj_host / nq * 2500 / 3600, 1
@@ -973,11 +1025,17 @@ def compute_projections(report):
             "qembed": 10.0, "answer.retrieval": 10.0,
             "answer.generate": 10.4,
         }
-        proj_dp4 = sum(warm.get(p, 0.0) / factors_dp4[p] for p in top_level)
-        proj_dp4 += mem_other / 8.0 + ans_other / 10.0
-        proj_dp4 += max(0.0, wall - attributed) / 10.0
-        # Judge rows shard over the dp=4 replicas like everything else.
-        proj_dp4 += nq * (judge_row / 10.4 + stage3_row / 10.0)
+        def _dp4_hours(w, n_q, v_wall, v_attr, h2d=0.0, d2h=0.0):
+            """dp4 hours for a phase-total dict (transport-substituted)."""
+            a, mo, ao = _sums(w, h2d, d2h)
+            p4 = sum(a.get(p, 0.0) / factors_dp4[p] for p in top_level)
+            p4 += mo / 8.0 + ao / 10.0
+            p4 += max(0.0, v_wall - v_attr) / 10.0
+            p4 += n_q * (judge_row / 10.4 + stage3_row / 10.0)
+            return p4
+
+        proj_dp4 = _dp4_hours(warm, nq, wall, attributed,
+                              off_h2d, off_d2h) + pcie_s
         report["projection"]["v5p8_hours_dp4_hostattached"] = round(
             proj_dp4 / nq * 2500 / 3600, 2
         )
@@ -989,20 +1047,56 @@ def compute_projections(report):
                if stages == [1, 2, 3] else
                "; STAGE-1 ONLY (pre-round-4 artifact without a measured "
                "judge s/row)")
+            + ("; the warm sample DELIBERATELY over-weights near-clamp "
+               "heavy segments (VERDICT r4 #1) — see "
+               "v5p8_hours_dp4_typical_mix for the representative-mix "
+               "headline and the spread for per-geometry points"
+               if off_bytes else "")
         )
+        # Typical-mix headline: the dp4 sum over only the videos WITHOUT
+        # heavy (offloaded) segments — the representative StreamBench
+        # geometries the pre-round-5 sample measured. The heavy points
+        # stay in the spread and bound the tail.
+        typical = [v for v in steady_videos if not v.get("offload")]
+        if off_bytes and typical:
+            t_warm, t_counts = {}, 0
+            t_wall = sum(v["wall_s"] for v in typical)
+            t_q = max(1, sum(v["questions"] for v in typical))
+            for v in typical:
+                for k, x in v["phase_totals_s"].items():
+                    t_warm[k] = t_warm.get(k, 0.0) + x
+            _, t_mo, t_ao = _sums(t_warm)
+            t_attr = (sum(t_warm.get(p, 0.0) for p in top_level)
+                      + t_mo + t_ao)
+            report["projection"]["v5p8_hours_dp4_typical_mix"] = round(
+                _dp4_hours(t_warm, t_q, t_wall, t_attr) / t_q
+                * 2500 / 3600, 2
+            )
         # Per-question spread across the segment-length sample: scale the
         # stage-1 part of the dp4 number by each video's per_q vs the mean
         # (the phase mix is observed stable across videos; labeled an
-        # approximation in the artifact).
-        spread = report.get("stage1_warm_per_question_spread_s")
-        if spread and per_q:
-            s1_dp4_per_q = (proj_dp4 / nq) - (judge_row / 10.4
-                                              + stage3_row / 10.0)
-            report["projection"]["v5p8_hours_dp4_spread"] = [
-                round((s1_dp4_per_q * s / per_q + judge_row / 10.4
-                       + stage3_row / 10.0) * 2500 / 3600, 2)
-                for s in spread
-            ]
+        # approximation in the artifact). Heavy videos' per_q is first
+        # transport-substituted (their relay offload seconds swapped for
+        # PCIe seconds) so every spread point is a host-attached number.
+        spread_srcs = steady_videos or None
+        if spread_srcs and per_q:
+            s1_dp4_per_q = ((proj_dp4 - pcie_s) / nq) - (
+                judge_row / 10.4 + stage3_row / 10.0)
+            # Anchor on the transport-adjusted mean so point/mean ratios
+            # compare like with like.
+            per_q_adj = max(
+                0.1, (wall - off_h2d - off_d2h) / nq)
+            pts = []
+            for v in spread_srcs:
+                o = v.get("offload") or {}
+                w_adj = (v["wall_s"] - o.get("h2d_s", 0.0)
+                         - o.get("d2h_s", 0.0)
+                         + o.get("bytes", 0) / PCIE_BPS)
+                s = w_adj / max(1, v["questions"])
+                pts.append(round(
+                    (s1_dp4_per_q * s / per_q_adj + judge_row / 10.4
+                     + stage3_row / 10.0) * 2500 / 3600, 2))
+            report["projection"]["v5p8_hours_dp4_spread"] = pts
         # Batched-judge variant (VERDICT r4 #7): same dp4 sum with stage 2
         # at the measured BEST warm batched s/row instead of the
         # conservative batch-1 figure (which stays the headline term).
@@ -1040,16 +1134,17 @@ def compute_projections(report):
             def split(total, frac):
                 return total * (frac / DEV + (1.0 - frac) / HOST)
 
-            answer_tot = (warm.get("answer.retrieval", 0.0)
-                          + warm.get("answer.generate", 0.0) + ans_other)
-            pm = split(warm.get("caption", 0.0), frac_cap)
-            pm += split(warm.get("summarize", 0.0), frac_cap)
+            answer_tot = (warm_adj.get("answer.retrieval", 0.0)
+                          + warm_adj.get("answer.generate", 0.0)
+                          + ans_other_adj)
+            pm = split(warm_adj.get("caption", 0.0), frac_cap)
+            pm += split(warm_adj.get("summarize", 0.0), frac_cap)
             pm += split(answer_tot, frac_ans)
-            pm += warm.get("ingest", 0.0) / 12.0
-            pm += warm.get("dedup", 0.0) / 8.0 + mem_other / 8.0
-            pm += (warm.get("history", 0.0) + warm.get("store", 0.0)
-                   + warm.get("qembed", 0.0)) / HOST
-            pm += max(0.0, wall - attributed) / HOST
+            pm += warm_adj.get("ingest", 0.0) / 12.0
+            pm += warm_adj.get("dedup", 0.0) / 8.0 + mem_other_adj / 8.0
+            pm += (warm_adj.get("history", 0.0) + warm_adj.get("store", 0.0)
+                   + warm_adj.get("qembed", 0.0)) / HOST
+            pm += max(0.0, wall - attributed) / HOST + pcie_s
             pm += nq * (split(judge_row, frac_ans) + stage3_row / HOST)
             report["projection"]["v5p8_hours_dp4_measured"] = round(
                 pm / nq * 2500 / 3600, 2

@@ -22,6 +22,7 @@ centroids, the partial tail chunk is kept raw. Set
 
 from __future__ import annotations
 
+import time
 from typing import Callable, List, Optional, Tuple
 
 import jax
@@ -35,6 +36,25 @@ from streamchat_tpu.ops.pooling import compress_spatial_features
 
 # Caption a chunk of frame features [T, P, D] -> text.
 CaptionFn = Callable[[jnp.ndarray], str]
+
+# Measured host<->device transport spent on chunk offloading, accumulated
+# per process and resettable by drivers (scripts/e2e_7b_geometry.py reads
+# this per warm video). Through the axon relay these transfers are the
+# dominant heavy-segment cost (measured: ~6.4 s device_put + ~8-10 s
+# device_get per 165 MB chunk-40 slab ~ 25/2 MB/s); on a host-attached
+# deployment the same bytes ride PCIe at >=8 GB/s (~0.04 s round trip), so
+# projections substitute byte-accurate PCIe costs for these measured
+# seconds. Keeping the totals measured (not inferred) is what makes that
+# substitution defensible.
+OFFLOAD_STATS = {"h2d_s": 0.0, "d2h_s": 0.0, "chunks": 0, "bytes": 0}
+
+
+def reset_offload_stats() -> dict:
+    """Return a copy of the accumulated stats and zero the accumulator."""
+    out = dict(OFFLOAD_STATS)
+    for k in OFFLOAD_STATS:
+        OFFLOAD_STATS[k] = 0
+    return out
 
 
 def build_short_memory(
@@ -76,7 +96,15 @@ def chunk_and_cluster(
     keys = jax.random.split(key, max(1, (n + cfg.chunk_size - 1) // cfg.chunk_size))
     for j, i in enumerate(range(0, n, cfg.chunk_size)):
         chunk = features[i : i + cfg.chunk_size]
-        raw.append(jax.device_get(chunk) if offload else chunk)
+        if offload:
+            t0 = time.perf_counter()
+            host_chunk = jax.device_get(chunk)
+            OFFLOAD_STATS["d2h_s"] += time.perf_counter() - t0
+            OFFLOAD_STATS["chunks"] += 1
+            OFFLOAD_STATS["bytes"] += host_chunk.nbytes
+            raw.append(host_chunk)
+        else:
+            raw.append(chunk)
         if (
             cluster_full_chunks
             and chunk.shape[0] >= cfg.chunk_size
@@ -168,7 +196,20 @@ def update_memory(
     # and the relay serializes the transfer against the caption's programs.
     # Strictly serialize H2D with compute; one group device-resident at once.
     for gi in range(len(groups)):
+        offloaded_group = groups[gi] and not isinstance(
+            groups[gi][0], jnp.ndarray)
+        t0 = time.perf_counter()
         cur = [jax.device_put(c) for c in groups[gi]]
+        # Block: an async put left in flight overlaps the caption's prefill
+        # dispatch, and the relay serializes transfers against in-flight
+        # compute (probe_put.py: overlapped 3.8 s vs 0.57 s serial) — the
+        # round-5 heavy-tail run measured captions at 10-20 s vs their
+        # 4.01 s steady cost from exactly this. Blocking also makes the
+        # OFFLOAD_STATS h2d timing true.
+        jax.block_until_ready(cur)
+        if offloaded_group:
+            OFFLOAD_STATS["h2d_s"] += time.perf_counter() - t0
+            OFFLOAD_STATS["bytes"] += sum(c.nbytes for c in cur)
         groups[gi] = None   # drop the host copy
         if len(cur) == 1:
             captions.append(caption_fn(cur[0]))
