@@ -1053,50 +1053,40 @@ def compute_projections(report):
                "headline and the spread for per-geometry points"
                if off_bytes else "")
         )
-        # Typical-mix headline: the dp4 sum over only the videos WITHOUT
-        # heavy (offloaded) segments — the representative StreamBench
-        # geometries the pre-round-5 sample measured. The heavy points
-        # stay in the spread and bound the tail.
+        def _video_dp4(v):
+            """dp4 seconds for one video from its OWN phase record, its
+            offload transport swapped for PCIe seconds."""
+            o = v.get("offload") or {}
+            vw = v["phase_totals_s"]
+            _, vmo, vao = _sums(vw)
+            v_attr = sum(vw.get(p, 0.0) for p in top_level) + vmo + vao
+            return _dp4_hours(
+                vw, max(1, v["questions"]), v["wall_s"], v_attr,
+                o.get("h2d_s", 0.0), o.get("d2h_s", 0.0),
+            ) + o.get("bytes", 0) / PCIE_BPS
+
+        # Typical-mix headline: per-video dp4 (same formula as the spread
+        # points — no cross-video unattributed-time cancellation) summed
+        # over only the videos WITHOUT heavy (offloaded) segments — the
+        # representative StreamBench geometries the pre-round-5 sample
+        # measured. The heavy points stay in the spread and bound the tail.
         typical = [v for v in steady_videos if not v.get("offload")]
         if off_bytes and typical:
-            t_warm, t_counts = {}, 0
-            t_wall = sum(v["wall_s"] for v in typical)
             t_q = max(1, sum(v["questions"] for v in typical))
-            for v in typical:
-                for k, x in v["phase_totals_s"].items():
-                    t_warm[k] = t_warm.get(k, 0.0) + x
-            _, t_mo, t_ao = _sums(t_warm)
-            t_attr = (sum(t_warm.get(p, 0.0) for p in top_level)
-                      + t_mo + t_ao)
             report["projection"]["v5p8_hours_dp4_typical_mix"] = round(
-                _dp4_hours(t_warm, t_q, t_wall, t_attr) / t_q
-                * 2500 / 3600, 2
+                sum(_video_dp4(v) for v in typical) / t_q * 2500 / 3600, 2
             )
-        # Per-question spread across the segment-length sample: scale the
-        # stage-1 part of the dp4 number by each video's per_q vs the mean
-        # (the phase mix is observed stable across videos; labeled an
-        # approximation in the artifact). Heavy videos' per_q is first
-        # transport-substituted (their relay offload seconds swapped for
-        # PCIe seconds) so every spread point is a host-attached number.
-        spread_srcs = steady_videos or None
-        if spread_srcs and per_q:
-            s1_dp4_per_q = ((proj_dp4 - pcie_s) / nq) - (
-                judge_row / 10.4 + stage3_row / 10.0)
-            # Anchor on the transport-adjusted mean so point/mean ratios
-            # compare like with like.
-            per_q_adj = max(
-                0.1, (wall - off_h2d - off_d2h) / nq)
-            pts = []
-            for v in spread_srcs:
-                o = v.get("offload") or {}
-                w_adj = (v["wall_s"] - o.get("h2d_s", 0.0)
-                         - o.get("d2h_s", 0.0)
-                         + o.get("bytes", 0) / PCIE_BPS)
-                s = w_adj / max(1, v["questions"])
-                pts.append(round(
-                    (s1_dp4_per_q * s / per_q_adj + judge_row / 10.4
-                     + stage3_row / 10.0) * 2500 / 3600, 2))
-            report["projection"]["v5p8_hours_dp4_spread"] = pts
+        # Per-question spread across the segment-length sample: each point
+        # is the dp4 formula applied to THAT video's own recorded phase
+        # totals (no mix-stability assumption), with its measured offload
+        # transport swapped for PCIe seconds — every spread point is a
+        # host-attached number for its geometry.
+        if steady_videos:
+            report["projection"]["v5p8_hours_dp4_spread"] = [
+                round(_video_dp4(v) / max(1, v["questions"])
+                      * 2500 / 3600, 2)
+                for v in steady_videos
+            ]
         # Batched-judge variant (VERDICT r4 #7): same dp4 sum with stage 2
         # at the measured BEST warm batched s/row instead of the
         # conservative batch-1 figure (which stays the headline term).
