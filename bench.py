@@ -126,14 +126,16 @@ def bench_ingest(small: bool) -> float:
 
 
 def bench_answer_latency(
-    small: bool, num_layers: int, int8: bool = False, spec: bool = False
+    small: bool, num_layers: int, int8: bool = False, spec: bool = False,
+    int4: bool = False,
 ):
     """One round = fused (4k-prefill + 256-token paged decode) program.
 
     Returns (p50 seconds, rounds list). Raises on allocation failure so the
     caller can retry at fewer layers. int8=True serves the weight-only
     quantized decoder (ops/quant.py) — decode is weight-bandwidth bound, so
-    this is the production serving mode's number.
+    this is the production serving mode's number. int4=True serves the
+    group-128 int4 latency-floor mode instead.
     """
     import dataclasses
 
@@ -149,10 +151,11 @@ def bench_answer_latency(
         ctx, max_new, rounds = 4096, 256, 3
 
     params = decoder.init(jax.random.key(0), cfg, jnp.float32 if small else jnp.bfloat16)
-    if int8:
+    if int8 or int4:
         from streamchat_tpu.ops.quant import quantize_decoder_params
 
-        params = quantize_decoder_params(params, destructive=True)
+        params = quantize_decoder_params(
+            params, destructive=True, bits=4 if int4 else 8)
         gc.collect()
     # A spliced multimodal prompt is embeddings, not token ids — synthesize
     # the post-splice [1, ctx, D] directly (visual memory + question layout).
@@ -225,6 +228,20 @@ def main() -> None:
             try:
                 p50_f, _ = bench_answer_latency(small, full_layers)
                 out["answer_p50_bf16_s"] = round(p50_f, 3)
+            except Exception:
+                pass
+        if os.environ.get("SC_BENCH_INT4", "") == "1":
+            # The documented latency-floor mode (ops/quant.py bits=4;
+            # QUANT_AGREE.json records why int8 stays the default). Gated
+            # like bf16 to keep the unattended driver bench inside the
+            # relay budget; measured 2.644 s at this shape (probe_p50).
+            gc.collect()
+            try:
+                p50_4, rounds_4 = bench_answer_latency(
+                    small, full_layers, int4=True)
+                out["answer_p50_int4_s"] = round(p50_4, 3)
+                out["answer_int4_rounds_s"] = [
+                    round(t, 3) for t in rounds_4]
             except Exception:
                 pass
         if os.environ.get("SC_BENCH_SPEC", "") == "1":
