@@ -55,7 +55,13 @@ def main():
         feats = vit.encode(vit_p, pixels, vit_cfg)
         proj = projector.apply(proj_p, feats)
         keep = select_changed_frames(frame_descriptors(feats), threshold=0.18)
-        return jnp.sum(proj.astype(jnp.float32)), jnp.sum(keep)
+        # MXU-matvec checksum, mirroring bench.py (the f32 convert+reduce
+        # form cost a measured 9.8 ms of VPU time at 54 GB/s)
+        ones = jnp.ones((proj.shape[-1], 1), proj.dtype)
+        checksum = jnp.sum(
+            jnp.dot(proj.reshape(-1, proj.shape[-1]), ones,
+                    preferred_element_type=jnp.float32))
+        return checksum, jnp.sum(keep)
 
     pixels = jax.random.normal(
         jax.random.key(1), (args.batch, 3, vit_cfg.image_size,

@@ -32,6 +32,30 @@ def init(key: jax.Array, in_dim: int, out_dim: int, dtype=jnp.bfloat16) -> Param
 
 
 def apply(params: Params, features: jnp.ndarray) -> jnp.ndarray:
+    """fc2(gelu(fc1(features))), fused on single-device TPU.
+
+    The XLA path materializes the GELU's f32 intermediate
+    ([128, 576, 3584] f32 = 1.06 GB per ingest batch — seen as
+    convert_element_type in the round-5 ingest HLO); the Pallas
+    `fused_ln_mlp` (layernorm off, erf-GELU in registers, exact to ~1e-6)
+    keeps the intermediate in VMEM. Same auto-gating as the fused ViT
+    path: single-device TPU only (multi-device meshes keep the per-op XLA
+    form for pjit partitioning; CPU tests opt in via interpret)."""
+    from streamchat_tpu.models.vit import _use_fused
+
+    if _use_fused(None) and features.ndim >= 2:
+        from streamchat_tpu.ops.fused_vit import fused_ln_mlp
+
+        din = features.shape[-1]
+        flat = features.reshape(-1, din)
+        out = fused_ln_mlp(
+            flat, jnp.ones((din,), features.dtype),
+            jnp.zeros((din,), features.dtype),
+            params["fc1"]["w"], params["fc1"]["b"],
+            params["fc2"]["w"], params["fc2"]["b"],
+            activation="gelu", layernorm=False, residual=False,
+        )
+        return out.reshape(features.shape[:-1] + (out.shape[-1],))
     h = features @ params["fc1"]["w"] + params["fc1"]["b"]
     h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(features.dtype)
     return h @ params["fc2"]["w"] + params["fc2"]["b"]
