@@ -152,6 +152,16 @@ class LongVA:
 
             n = len(_jax.devices())
             mesh = make_mesh(*best_mesh_shape(n, kv_heads=self.dec_cfg.num_kv_heads))
+        # Drop any lazily-attached fused-path folds before sharding: the
+        # pspec tree matches the HF layout, and jax.tree.map requires
+        # identical structures. They re-fold lazily on the next
+        # encode_images if the placement stays single-device.
+        if any("fused" in p for p in self.vit_params["layers"]):
+            self.vit_params = dict(
+                self.vit_params,
+                layers=[{k: v for k, v in p.items() if k != "fused"}
+                        for p in self.vit_params["layers"]],
+            )
         self.vit_params = shard_pytree(
             self.vit_params, vit_pspecs(self.vit_cfg.num_layers), mesh
         )

@@ -82,6 +82,43 @@ def test_fused_layer_folded_matches_block(setup, mode):
     assert _rel_err(out, ref) < 2e-5
 
 
+def test_fold_params_pretree_matches_inline_fold(setup):
+    """vit.fold_params attaches per-layer 'fused' projections; the fused
+    path must produce the same output whether it consumes the pre-folded
+    tree or folds in-trace, and folding must be idempotent."""
+    cfg, params, _ = setup
+    pixels = jax.random.normal(
+        jax.random.key(9), (4, 3, cfg.image_size, cfg.image_size),
+        jnp.float32)
+    folded = vit.fold_params(params, cfg)
+    assert all("fused" in p for p in folded["layers"])
+    # idempotent: second call returns the same tree (no re-fold)
+    again = vit.fold_params(folded, cfg)
+    assert again["layers"][0]["fused"] is folded["layers"][0]["fused"]
+    ref = vit.encode(params, pixels, cfg, fused=True, interpret=True)
+    out = vit.encode(folded, pixels, cfg, fused=True, interpret=True)
+    assert _rel_err(out, ref) < 1e-6
+    # the unfused path ignores the extra leaves entirely
+    plain = vit.encode(folded, pixels, cfg, fused=False)
+    assert _rel_err(plain, vit.encode(params, pixels, cfg, fused=False)) < 1e-6
+
+
+def test_shard_after_fold_drops_fused_leaves():
+    """LongVA.shard must strip lazily-attached folds (the pspec tree is
+    HF-layout; jax.tree.map needs matching structures)."""
+    from streamchat_tpu.config import DecoderConfig, ViTConfig
+    from streamchat_tpu.models import vit as vit_mod
+    from streamchat_tpu.models.longva import LongVA
+
+    model = LongVA.init_random(
+        jax.random.key(0), ViTConfig.tiny(), DecoderConfig.tiny(),
+        dtype=jnp.float32)
+    model.vit_params = vit_mod.fold_params(model.vit_params, model.vit_cfg)
+    assert "fused" in model.vit_params["layers"][0]
+    model.shard()    # 8-device CPU test mesh; must not raise
+    assert "fused" not in model.vit_params["layers"][0]
+
+
 def test_onepass_ln_large_mean_to_std_ratio(setup):
     """One-pass LN (var = E[x^2] - E[x]^2) loses ~1e-7 * (mean/std)^2
     relative f32 bits to cancellation. Pin the documented domain: at
