@@ -954,9 +954,16 @@ def compute_projections(report):
             }
 
         def _sums(w, h2d=0.0, d2h=0.0):
-            """(phases, mem_other, ans_other) with transport stripped."""
+            """(phases, mem_other, ans_other) with transport stripped.
+
+            Both offload transfers happen inside update_memory (the D2H in
+            chunk cutting, the blocked H2D just before each caption_fn
+            call, OUTSIDE the captioner's own timed window — warm-video
+            records confirm: heavy captions time 4.0 s each while the
+            memory_update phase carries the transport), so the whole
+            h2d + d2h strip comes off memory_update / mem_other and the
+            caption phase is untouched."""
             a = dict(w)
-            a["caption"] = max(0.0, a.get("caption", 0.0) - h2d)
             a["memory_update"] = max(
                 0.0, a.get("memory_update", 0.0) - h2d - d2h)
             mo = max(0.0, a.get("memory_update", 0.0)
