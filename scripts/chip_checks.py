@@ -38,6 +38,42 @@ def check(name, fn, tol):
     return ok
 
 
+def fused_vit_layer_folded():
+    """Round-5 production fused ViT layer (folded LN/q-scale, exp2 clamp
+    softmax, one-pass LN, frame_tile=4 fori) COMPILED vs the XLA block at
+    real ViT-L dims — interpret-mode tests cannot catch Mosaic-only
+    lowering bugs."""
+    from streamchat_tpu.config import ViTConfig
+    from streamchat_tpu.models import vit
+    from streamchat_tpu.ops.fused_vit import (
+        fold_vit_layer_params, fused_vit_layer)
+
+    cfg = ViTConfig()      # 1024/16 heads/4096 MLP, S=577
+    params = vit.init(jax.random.key(3), cfg, jnp.bfloat16)
+    lp = params["layers"][0]
+    x = (jax.random.normal(jax.random.key(4), (8, 577, cfg.hidden_size))
+         * 0.5).astype(jnp.bfloat16)
+    wqkv = jnp.concatenate(
+        [lp["attn"][k]["w"] for k in ("q", "k", "v")], axis=1)
+    bqkv = jnp.concatenate([lp["attn"][k]["b"] for k in ("q", "k", "v")])
+    fw, fb, w1, b1 = fold_vit_layer_params(
+        lp["ln1"]["scale"], lp["ln1"]["bias"], wqkv, bqkv,
+        lp["ln2"]["scale"], lp["ln2"]["bias"],
+        lp["mlp"]["fc1"]["w"], lp["mlp"]["fc1"]["b"],
+        num_heads=cfg.num_heads)
+    out = fused_vit_layer(
+        x, lp["ln1"]["scale"], lp["ln1"]["bias"], fw, fb,
+        lp["attn"]["o"]["w"], lp["attn"]["o"]["b"],
+        lp["ln2"]["scale"], lp["ln2"]["bias"],
+        w1, b1, lp["mlp"]["fc2"]["w"], lp["mlp"]["fc2"]["b"],
+        num_heads=cfg.num_heads, eps=cfg.layernorm_eps,
+        frame_tile=4, folded=True, ln_onepass=True)
+    ref = vit._block(x, lp, cfg)
+    # relative: the residual stream's magnitude grows with D; bf16 step
+    # size scales with it, so absolute error alone would be shape-tuned
+    return _err(out, ref) / float(np.max(np.abs(np.asarray(ref, np.float32))))
+
+
 def flash_decoder_prefill():
     """flash_attention vs XLA reference at the 7B prefill shape (GQA 28/4)."""
     from streamchat_tpu.ops.attention import _attention_reference, flash_attention
@@ -450,6 +486,7 @@ def main():
     ok = True
     ok &= check("int4_matvec+fused(7B shapes)",
                 int4_matvec_kernels_vs_dequant, 2e-2)
+    ok &= check("fused_vit_layer_folded(ViT-L)", fused_vit_layer_folded, 5e-2)
     ok &= check("flash_decoder_prefill(4k,GQA)", flash_decoder_prefill, 2e-2)
     ok &= check("flash_vit(577,non-causal)", flash_vit_shape, 2e-2)
     ok &= check("flash_ragged_grid(1408)", flash_ragged_grid, 2e-2)

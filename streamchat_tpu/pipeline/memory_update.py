@@ -200,14 +200,18 @@ def update_memory(
             groups[gi][0], jnp.ndarray)
         t0 = time.perf_counter()
         cur = [jax.device_put(c) for c in groups[gi]]
-        # Block: an async put left in flight overlaps the caption's prefill
-        # dispatch, and the relay serializes transfers against in-flight
-        # compute (probe_put.py: overlapped 3.8 s vs 0.57 s serial) — the
-        # round-5 heavy-tail run measured captions at 10-20 s vs their
-        # 4.01 s steady cost from exactly this. Blocking also makes the
-        # OFFLOAD_STATS h2d timing true.
-        jax.block_until_ready(cur)
         if offloaded_group:
+            # Block the H2D before dispatching the caption: an async put
+            # left in flight overlaps the caption's prefill dispatch, and
+            # the relay serializes transfers against in-flight compute
+            # (probe_put.py: overlapped 3.8 s vs 0.57 s serial) — the
+            # round-5 heavy-tail run measured captions at 10-20 s vs their
+            # 4.01 s steady cost from exactly this. Blocking also makes
+            # the OFFLOAD_STATS h2d timing true. Non-offloaded chunks are
+            # already device-resident — blocking there only serializes
+            # host dispatch against the cutting compute for nothing
+            # (measured ~+10 s/video on the regular geometries).
+            jax.block_until_ready(cur)
             OFFLOAD_STATS["h2d_s"] += time.perf_counter() - t0
             OFFLOAD_STATS["bytes"] += sum(c.nbytes for c in cur)
         groups[gi] = None   # drop the host copy
